@@ -1,0 +1,99 @@
+"""Benchmark: flagship DCS-Net training throughput on the attached chip(s).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "audio-s/s/chip", "vs_baseline": N}
+
+The reference never measured throughput (BASELINE.md) — its training consumes
+16.32 audio-seconds per step (batch 32 x 8160 samples @16 kHz,
+/root/reference/config.py:43,110-111). vs_baseline is therefore reported
+against the 1x-realtime anchor (value == how many seconds of audio are
+processed per wall-clock second per chip while TRAINING end-to-end, STFT and
+iSTFT included).
+
+Usage: python bench.py [--variant dcs] [--steps 10] [--batch 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--variant", default="dcs")
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--crop", type=int, default=8160)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from dcs_net_tpu.core.config import config_for_variant
+    from dcs_net_tpu.models.unet import DCSNet
+    from dcs_net_tpu.parallel import mesh as pmesh
+    from dcs_net_tpu.train import steps as S
+    from dcs_net_tpu.train.optim import make_optimizer
+
+    cfg = config_for_variant(args.variant)
+    cfg = cfg.replace(data=cfg.data.__class__(
+        crop_samples=args.crop, batch_size=args.batch))
+
+    devices = jax.devices()
+    n_chips = len(devices)
+    model = DCSNet(cfg.model, cfg.quirks)
+    tx = make_optimizer(cfg.optim)
+    mesh = pmesh.make_mesh(devices, cfg.run.data_axis)
+
+    rng = jax.random.PRNGKey(0)
+    clean = jax.random.normal(rng, (args.batch, args.crop), jnp.float32) * 0.1
+    noise = jax.random.normal(jax.random.PRNGKey(1),
+                              (args.batch, args.crop), jnp.float32) * 0.02
+
+    with mesh:
+        make_batch = jax.jit(lambda n, c: S.batch_from_waves(n + c, c, cfg))
+        batch = make_batch(noise, clean)
+        batch = pmesh.shard_batch(batch, mesh, cfg.run.data_axis)
+        state = S.init_state(model, cfg, tx, rng, batch.noisy)
+        state = jax.device_put(state, pmesh.replicated(mesh))
+        step = pmesh.make_dp_train_step(model, cfg, tx, mesh)
+
+        t_compile = time.perf_counter()
+        for i in range(args.warmup):
+            state, metrics = step(state, batch, jax.random.fold_in(rng, i))
+        jax.block_until_ready(metrics["loss"])
+        compile_s = time.perf_counter() - t_compile
+
+        t0 = time.perf_counter()
+        for i in range(args.steps):
+            state, metrics = step(state, batch, jax.random.fold_in(rng, 100 + i))
+        jax.block_until_ready(metrics["loss"])
+        dt = time.perf_counter() - t0
+
+    steps_per_s = args.steps / dt
+    audio_seconds_per_step = args.batch * args.crop / 16000.0
+    value = steps_per_s * audio_seconds_per_step / n_chips
+    print(f"# devices={n_chips} steps/s={steps_per_s:.3f} "
+          f"loss={float(metrics['loss']):.4f} warmup_s={compile_s:.1f}",
+          file=sys.stderr)
+    sys.stderr.flush()
+    print(json.dumps({
+        "metric": f"train_{args.variant}_audio_seconds_per_s_per_chip",
+        "value": round(value, 3),
+        "unit": "audio-s/s/chip",
+        "vs_baseline": round(value, 3),  # anchor: 1x realtime
+    }))
+    sys.stdout.flush()
+    # the axon tunnel can hang interpreter teardown; the result is out, exit
+    # without running destructors.
+    import os
+
+    os._exit(0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Train entry point: ``python -m dcs_net_tpu.cli.train {dr,dc,drs,dcs} ...``
+
+Replaces /root/reference/train.py (argv dispatch + Lightning Trainer) with the
+framework-native loop. ``--resume`` restores params/opt-state/scheduler from
+the latest checkpoint — mid-training resume the reference lacked.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from dcs_net_tpu.cli.common import add_common_args, build_config, make_loaders
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_args(p)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--no-tensorboard", action="store_true")
+    p.add_argument("--limit-train-batches", type=int, default=None,
+                   help="cap train batches per epoch (smoke runs)")
+    args = p.parse_args(argv)
+
+    cfg = build_config(args)
+    print(f"variant={cfg.variant} complex={cfg.model.complex_valued} "
+          f"subtractive={cfg.model.subtractive} faithful_quirks="
+          f"{cfg.quirks == cfg.quirks.__class__()}")
+
+    from dcs_net_tpu.train.checkpoint import CheckpointManager, abstract_like
+    from dcs_net_tpu.train.loop import Trainer
+
+    train_loader, val_loader, _ = make_loaders(cfg)
+    trainer = Trainer(cfg, log_dir=cfg.run.log_dir,
+                      use_tensorboard=not args.no_tensorboard)
+    trainer.init_state()
+    ckpt = CheckpointManager(cfg.run.ckpt_dir)
+    if args.resume and ckpt.latest_step() is not None:
+        state, extra = ckpt.restore(abstract_like(trainer.state), with_extra=True)
+        trainer.state = state
+        trainer.epoch = int(extra.get("epoch", -1)) + 1
+        if "plateau" in extra:
+            trainer.plateau.load_state_dict(extra["plateau"])
+        print(f"resumed from step {ckpt.latest_step()} (epoch {trainer.epoch})")
+
+    if args.limit_train_batches:
+        cap = args.limit_train_batches
+
+        class _Capped:
+            def __init__(self, loader):
+                self.loader = loader
+
+            def epoch(self, e):
+                import itertools
+
+                return itertools.islice(self.loader.epoch(e), cap)
+
+            def __len__(self):
+                return min(len(self.loader), cap)
+
+        train_loader = _Capped(train_loader)
+
+    metrics = trainer.fit(train_loader, val_loader, ckpt=ckpt)
+    print("final:", {k: round(v, 4) for k, v in metrics.items()})
+
+
+if __name__ == "__main__":
+    main()

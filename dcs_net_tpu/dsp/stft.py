@@ -1,0 +1,264 @@
+"""On-device STFT / iSTFT.
+
+TPU-first design: framing is a gather, the DFT is a single real matmul against
+a precomputed (n_fft, n_bins) cos/sin basis — one MXU contraction per batch —
+instead of calling an FFT. For n_fft=512 this is faster on TPU than XLA's FFT
+lowering and it fuses with the surrounding elementwise work. A jnp.fft path is
+kept for cross-checking.
+
+Semantics match ``torch.stft``/``torch.istft`` as used by the reference:
+  * center=True reflect padding of n_fft//2 on both ends
+    (/root/reference/data.py:112-134)
+  * normalized=True == multiply by n_fft**-0.5 (verified empirically vs torch)
+  * the DC bin is dropped after analysis, keeping bins [1..n_fft/2]
+  * resynthesis ``polar_to_wave`` reproduces the reference's
+    pad-one-zero-TOP-bin quirk (/root/reference/network_functions.py:144)
+    behind ``Quirks.istft_pad_top_bin``: the 256 network bins are written to
+    positions [0..255] and a zero goes to the Nyquist slot, shifting all
+    content down one bin. Idiomatic mode re-inserts a zero DC bin instead.
+
+Exact-reconstruction: hann(512)/hop 32 satisfies NOLA; iSTFT divides by the
+overlap-added squared-window envelope and trims the center padding, which makes
+``istft(stft(x)) == x`` to float32 precision (test_stft.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dcs_net_tpu.core.config import STFTConfig
+from dcs_net_tpu.utils.carray import CArray
+
+
+@functools.lru_cache(maxsize=8)
+def window_np(cfg: STFTConfig) -> np.ndarray:
+    """Host-side window (numpy, float64)."""
+    if cfg.window != "hann":
+        raise NotImplementedError(f"window {cfg.window!r}")
+    # torch.hann_window(periodic=True): 0.5 - 0.5 cos(2 pi n / N)
+    n = np.arange(cfg.win_length)
+    w = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / cfg.win_length)
+    if cfg.win_length < cfg.n_fft:  # torch center-pads the window to n_fft
+        pad = (cfg.n_fft - cfg.win_length) // 2
+        w = np.pad(w, (pad, cfg.n_fft - cfg.win_length - pad))
+    return w
+
+
+def get_window(cfg: STFTConfig, dtype=jnp.float32) -> jnp.ndarray:
+    return jnp.asarray(window_np(cfg), dtype)
+
+
+@functools.lru_cache(maxsize=8)
+def _dft_basis(n_fft: int, drop_dc: bool) -> Tuple[np.ndarray, np.ndarray]:
+    """Real/imag analysis bases, shape (n_fft, n_bins).
+
+    X[k] = sum_n x[n] (cos(-2 pi k n / N) + i sin(-2 pi k n / N))
+    """
+    n_bins_full = n_fft // 2 + 1
+    k = np.arange(n_bins_full)
+    n = np.arange(n_fft)
+    ang = -2.0 * np.pi * np.outer(n, k) / n_fft  # (n_fft, bins)
+    cos_b, sin_b = np.cos(ang), np.sin(ang)
+    if drop_dc:
+        cos_b, sin_b = cos_b[:, 1:], sin_b[:, 1:]
+    return cos_b.astype(np.float32), sin_b.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def _idft_basis(n_fft: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Inverse bases, shape (n_bins_full, n_fft), including the rfft
+    hermitian-doubling weights: x[n] = (1/N) sum_k w_k (Re X_k cos + ...)."""
+    n_bins_full = n_fft // 2 + 1
+    k = np.arange(n_bins_full)
+    n = np.arange(n_fft)
+    ang = 2.0 * np.pi * np.outer(k, n) / n_fft  # (bins, n_fft)
+    weights = np.full((n_bins_full, 1), 2.0)
+    weights[0] = weights[-1] = 1.0  # DC and Nyquist appear once
+    cos_b = weights * np.cos(ang) / n_fft
+    sin_b = -weights * np.sin(ang) / n_fft  # X conj-symmetric: x = Re(ifft)
+    return cos_b.astype(np.float32), sin_b.astype(np.float32)
+
+
+def frame_signal(x: jnp.ndarray, cfg: STFTConfig) -> jnp.ndarray:
+    """(..., n) -> (..., T, n_fft) frames, with center reflect padding.
+
+    When hop | n_fft (the default 32 | 512) framing is a reshape plus
+    n_fft//hop static slices — no gather — which XLA turns into pure layout
+    ops; the general case falls back to an advanced-index gather.
+    """
+    if cfg.center:
+        pad = cfg.n_fft // 2
+        widths = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]
+        x = jnp.pad(x, widths, mode=cfg.pad_mode)
+    n = x.shape[-1]
+    n_frames = 1 + (n - cfg.n_fft) // cfg.hop
+    if cfg.n_fft % cfg.hop == 0:
+        r = cfg.n_fft // cfg.hop
+        usable = cfg.hop * (n_frames + r - 1)
+        v = x[..., :usable].reshape(x.shape[:-1] + (n_frames + r - 1, cfg.hop))
+        return jnp.concatenate(
+            [v[..., i:i + n_frames, :] for i in range(r)], axis=-1)
+    starts = np.arange(n_frames) * cfg.hop
+    idx = starts[:, None] + np.arange(cfg.n_fft)[None, :]  # (T, n_fft)
+    return x[..., idx]
+
+
+def stft(x: jnp.ndarray, cfg: STFTConfig, *, use_fft: bool = False) -> CArray:
+    """STFT of (..., n) real signal -> CArray of shape (..., F, T).
+
+    F = cfg.n_bins (DC dropped when cfg.drop_dc). Matches
+    torch.stft(..., normalized=cfg.normalized, return_complex=True)[1:257].
+    """
+    window = get_window(cfg, x.dtype)
+    frames = frame_signal(x, cfg) * window  # (..., T, n_fft)
+    scale = cfg.n_fft ** -0.5 if cfg.normalized else 1.0
+    if use_fft:
+        spec = jnp.fft.rfft(frames, n=cfg.n_fft, axis=-1)  # (..., T, bins_full)
+        if cfg.drop_dc:
+            spec = spec[..., 1:]
+        re = jnp.real(spec) * scale
+        im = jnp.imag(spec) * scale
+    else:
+        cos_b, sin_b = _dft_basis(cfg.n_fft, cfg.drop_dc)
+        cos_b = jnp.asarray(cos_b, x.dtype) * scale
+        sin_b = jnp.asarray(sin_b, x.dtype) * scale
+        re = frames @ cos_b  # (..., T, F) — MXU contraction
+        im = frames @ sin_b
+    # (..., T, F) -> (..., F, T): reference layout (data.py:111 "F x T")
+    return CArray(jnp.swapaxes(re, -1, -2), jnp.swapaxes(im, -1, -2))
+
+
+def istft(
+    spec: CArray,
+    cfg: STFTConfig,
+    *,
+    length: Optional[int] = None,
+) -> jnp.ndarray:
+    """iSTFT of a FULL-bin spectrogram (..., n_fft//2+1, T) -> (..., n).
+
+    Matches torch.istft(center=True, normalized=cfg.normalized). Callers with
+    DC-dropped (256-bin) spectrograms go through :func:`polar_to_wave` /
+    :func:`pad_bins`, which re-create the 257th bin first.
+    """
+    n_bins_full = cfg.n_fft // 2 + 1
+    if spec.shape[-2] != n_bins_full:
+        raise ValueError(
+            f"istft expects {n_bins_full} bins, got {spec.shape[-2]}; "
+            "use pad_bins()/polar_to_wave() for DC-dropped spectrograms")
+    re = jnp.swapaxes(spec.re, -1, -2)  # (..., T, bins)
+    im = jnp.swapaxes(spec.im, -1, -2)
+    if cfg.normalized:
+        re = re * (cfg.n_fft ** 0.5)
+        im = im * (cfg.n_fft ** 0.5)
+    cos_b, sin_b = _idft_basis(cfg.n_fft)
+    frames = re @ jnp.asarray(cos_b, re.dtype) + im @ jnp.asarray(sin_b, re.dtype)
+    window = get_window(cfg, re.dtype)
+    frames = frames * window  # (..., T, n_fft)
+
+    n_frames = frames.shape[-2]
+    total = cfg.n_fft + cfg.hop * (n_frames - 1)
+    batch_shape = frames.shape[:-2]
+    out = _overlap_add(frames, cfg, total)  # (..., total)
+
+    env = jnp.asarray(_window_envelope(cfg, n_frames), frames.dtype)
+    out = out / env
+
+    if cfg.center:
+        half = cfg.n_fft // 2
+        out = out[..., half:total - half]
+    if length is not None:
+        out = out[..., :length]
+    return out.reshape(batch_shape + (out.shape[-1],))
+
+
+def _overlap_add(frames: jnp.ndarray, cfg: STFTConfig, total: int) -> jnp.ndarray:
+    """(..., T, n_fft) -> (..., total). Scatter-free when hop | n_fft: each
+    frame is split into n_fft//hop hop-sized pieces and the r diagonals are
+    summed via static pads — XLA fuses this into shifted adds."""
+    n_frames = frames.shape[-2]
+    if cfg.n_fft % cfg.hop == 0:
+        r = cfg.n_fft // cfg.hop
+        pieces = frames.reshape(frames.shape[:-1] + (r, cfg.hop))
+        rows = n_frames + r - 1  # total // hop
+        acc = jnp.zeros(frames.shape[:-2] + (rows, cfg.hop), frames.dtype)
+        for i in range(r):
+            widths = [(0, 0)] * (frames.ndim - 2) + [(i, rows - n_frames - i), (0, 0)]
+            acc = acc + jnp.pad(pieces[..., i, :], widths)
+        return acc.reshape(frames.shape[:-2] + (total,))
+    starts = np.arange(n_frames) * cfg.hop
+    idx = starts[:, None] + np.arange(cfg.n_fft)[None, :]
+    flat = frames.reshape((-1, n_frames, cfg.n_fft))
+    out = jnp.zeros((flat.shape[0], total), flat.dtype)
+    out = out.at[:, idx.reshape(-1)].add(flat.reshape(flat.shape[0], -1))
+    return out.reshape(frames.shape[:-2] + (total,))
+
+
+@functools.lru_cache(maxsize=8)
+def _window_envelope(cfg: STFTConfig, n_frames: int) -> np.ndarray:
+    """Host-precomputed OLA of squared windows (data-independent)."""
+    w = window_np(cfg) ** 2
+    total = cfg.n_fft + cfg.hop * (n_frames - 1)
+    env = np.zeros(total)
+    for t in range(n_frames):
+        env[t * cfg.hop:t * cfg.hop + cfg.n_fft] += w
+    return np.maximum(env, 1e-11).astype(np.float32)
+
+
+def pad_bins(spec: CArray, cfg: STFTConfig, *, pad_top: bool) -> CArray:
+    """Recreate a full (n_fft//2+1)-bin spectrogram from the DC-dropped one.
+
+    pad_top=True reproduces the reference quirk: F.pad(comp, (0,0,0,1))
+    appends the zero at the TOP (Nyquist slot), so the 256 content bins land in
+    positions [0..255] — one bin lower than where they were analyzed
+    (/root/reference/network_functions.py:144). pad_top=False re-inserts the
+    zero at the DC slot (the analysis-consistent inverse).
+    """
+    zeros = jnp.zeros(spec.shape[:-2] + (1,) + spec.shape[-1:], spec.dtype)
+    if pad_top:
+        return CArray(
+            jnp.concatenate([spec.re, zeros], axis=-2),
+            jnp.concatenate([spec.im, zeros], axis=-2))
+    return CArray(
+        jnp.concatenate([zeros, spec.re], axis=-2),
+        jnp.concatenate([zeros, spec.im], axis=-2))
+
+
+def polar_to_wave(
+    mag: jnp.ndarray,
+    phase: jnp.ndarray,
+    cfg: STFTConfig,
+    *,
+    pad_top: bool = True,
+    length: Optional[int] = None,
+) -> jnp.ndarray:
+    """mag/phase (.., F=256, T) -> waveform; the reference's ``mag_phase_2_wave``
+    (/root/reference/network_functions.py:140-150) minus its CUDA pinning."""
+    spec = CArray.from_polar(mag, phase)
+    return istft(pad_bins(spec, cfg, pad_top=pad_top), cfg, length=length)
+
+
+def spec_to_wave(
+    spec: CArray,
+    cfg: STFTConfig,
+    *,
+    atan2_eps: float,
+    pad_top: bool = True,
+    length: Optional[int] = None,
+) -> jnp.ndarray:
+    """CArray spectrogram -> waveform through the reference's mag/atan2(+eps)
+    polar decomposition (network_functions.py:213-221, 244-247). The eps-shifted
+    atan2 makes this NOT the identity on the complex values — faithful parity
+    requires routing through polar exactly as the reference does."""
+    return polar_to_wave(
+        spec.abs(), spec.angle(atan2_eps), cfg, pad_top=pad_top, length=length)
+
+
+def expected_length(cfg: STFTConfig, n_frames: int) -> int:
+    if cfg.center:
+        return cfg.hop * (n_frames - 1)
+    return cfg.n_fft + cfg.hop * (n_frames - 1)

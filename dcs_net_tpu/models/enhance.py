@@ -1,0 +1,127 @@
+"""Utterance enhancement: full-utterance and streaming-chunked inference.
+
+The reference evaluates on fixed 0.51 s random crops even at test time
+(/root/reference/data.py:95-104) — it has no long-utterance path. This module
+is the TPU-idiomatic extension (SURVEY.md §5 long-context note): the on-device
+STFT makes utterance length a runtime dimension, and long utterances stream
+through fixed-size chunks so the compiled program shape is constant.
+
+Chunking: the spectrogram is cut into ``chunk_frames`` windows overlapping by
+``overlap`` frames; each chunk runs the full U-Net (a lax.scan over chunks —
+one compilation, arbitrary length); predicted masks are blended with a linear
+crossfade in the overlapped region before mask application and iSTFT. Frames
+are padded to the model's stride granularity (8) and trimmed after synthesis.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dcs_net_tpu.core.config import Config
+from dcs_net_tpu.dsp import stft as dsp
+from dcs_net_tpu.ops import masks as M
+from dcs_net_tpu.utils.carray import CArray
+
+
+def _apply_mask_pipeline(spec: CArray, mask, cfg: Config) -> CArray:
+    """Masked clean-spectrogram estimate per variant (C14 semantics)."""
+    if cfg.model.complex_valued:
+        if cfg.quirks.double_bound_mask:
+            mask = M.bound_crm(mask, cfg.model.atan2_eps)
+        if cfg.model.subtractive:
+            return spec - spec * mask
+        return spec * mask
+    mag = spec.abs()
+    phase = spec.angle(cfg.model.atan2_eps)
+    clean_mag = mag - mag * mask if cfg.model.subtractive else mag * mask
+    return CArray.from_polar(clean_mag, phase)
+
+
+def _model_input(spec: CArray, cfg: Config):
+    return spec if cfg.model.complex_valued else spec.abs()
+
+
+def enhance_full(model, variables, wave: jnp.ndarray, cfg: Config) -> jnp.ndarray:
+    """(B, n) noisy -> (B, n) enhanced, single forward over the whole
+    spectrogram (pads frames to stride granularity 8)."""
+    n = wave.shape[-1]
+    spec = dsp.stft(wave, cfg.stft)  # (B, F, T)
+    T = spec.shape[-1]
+    pad = (-T) % 8
+    if pad:
+        spec_p = CArray(
+            jnp.pad(spec.re, ((0, 0), (0, 0), (0, pad))),
+            jnp.pad(spec.im, ((0, 0), (0, 0), (0, pad))))
+    else:
+        spec_p = spec
+    mask = model.apply(variables, _model_input(spec_p, cfg), train=False)
+    if pad:
+        mask = mask[..., :T] if not isinstance(mask, CArray) else CArray(
+            mask.re[..., :T], mask.im[..., :T])
+    clean_spec = _apply_mask_pipeline(spec, mask, cfg)
+    return dsp.spec_to_wave(
+        clean_spec, cfg.stft, atan2_eps=cfg.model.atan2_eps,
+        pad_top=cfg.quirks.istft_pad_top_bin, length=n)
+
+
+def enhance_streaming(
+    model, variables, wave: jnp.ndarray, cfg: Config,
+    chunk_frames: int = 256, overlap: int = 64,
+) -> jnp.ndarray:
+    """(B, n) noisy -> (B, n) enhanced via fixed-shape chunks.
+
+    One compile regardless of utterance length; chunk masks crossfaded over
+    the overlap. chunk_frames must be a multiple of 8.
+    """
+    assert chunk_frames % 8 == 0 and 0 <= overlap < chunk_frames
+    n = wave.shape[-1]
+    spec = dsp.stft(wave, cfg.stft)  # (B, F, T)
+    B, F, T = spec.shape
+    hop = chunk_frames - overlap
+    n_chunks = max(1, int(np.ceil(max(T - overlap, 1) / hop)))
+    total = overlap + n_chunks * hop
+    padded = CArray(
+        jnp.pad(spec.re, ((0, 0), (0, 0), (0, total - T))),
+        jnp.pad(spec.im, ((0, 0), (0, 0), (0, total - T))))
+
+    starts = jnp.arange(n_chunks) * hop
+
+    def run_chunk(carry, start):
+        chunk = CArray(
+            jax.lax.dynamic_slice_in_dim(padded.re, start, chunk_frames, axis=2),
+            jax.lax.dynamic_slice_in_dim(padded.im, start, chunk_frames, axis=2))
+        mask = model.apply(variables, _model_input(chunk, cfg), train=False)
+        if isinstance(mask, CArray):
+            out = jnp.stack([mask.re, mask.im])
+        else:
+            out = mask[None]
+        return carry, out
+
+    _, chunk_masks = jax.lax.scan(run_chunk, None, starts)
+    # chunk_masks: (n_chunks, P, B, F, chunk_frames) with P in {1, 2}
+
+    # crossfade weights: ramp up over the overlap, flat, ramp handled by the
+    # next chunk's ramp-up (weights are normalized by their OLA sum).
+    w = jnp.ones((chunk_frames,))
+    if overlap > 0:
+        ramp = (jnp.arange(overlap) + 1.0) / (overlap + 1.0)
+        w = w.at[:overlap].set(ramp).at[-overlap:].set(ramp[::-1])
+
+    P = chunk_masks.shape[1]
+    acc = jnp.zeros((P, B, F, total))
+    wacc = jnp.zeros((total,))
+    for c in range(n_chunks):  # static unroll: n_chunks is host-derived
+        sl = slice(c * hop, c * hop + chunk_frames)
+        acc = acc.at[..., sl].add(chunk_masks[c] * w)
+        wacc = wacc.at[sl].add(w)
+    blended = acc / jnp.maximum(wacc, 1e-8)
+    mask = (CArray(blended[0], blended[1]) if P == 2 else blended[0])[..., :T]
+
+    clean_spec = _apply_mask_pipeline(spec, mask, cfg)
+    return dsp.spec_to_wave(
+        clean_spec, cfg.stft, atan2_eps=cfg.model.atan2_eps,
+        pad_top=cfg.quirks.istft_pad_top_bin, length=n)

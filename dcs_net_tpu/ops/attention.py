@@ -1,0 +1,103 @@
+"""CBAM channel + spatial attention, real and complex.
+
+Reference: RealChannelAttention / RealSpatialAttention
+(/root/reference/r_network.py:8-40) and ComplexChannelAttention /
+ComplexSpatialAttention (/root/reference/c_network.py:53-84).
+
+Quirks reproduced behind flags:
+  * real channel attention discards the avg branch (out = max_fc only,
+    r_network.py:23-24) — ``max_only``;
+  * the complex "max" pool is an avg pool (network_functions.py:135-138) —
+    ``maxpool_is_avg``. The complex channel attention therefore effectively
+    computes sigmoid(2 * avg_fc) in faithful mode.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dcs_net_tpu.ops import complex_layers as cl
+from dcs_net_tpu.ops import real_layers as rl
+from dcs_net_tpu.utils.carray import CArray
+
+
+class RealChannelAttention(nn.Module):
+    channels: int
+    reduction: int
+    max_only: bool = True  # Quirks.real_ca_max_only
+    weight_init: str = "xavier_uniform"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        hidden = max(self.channels // self.reduction, 1)
+        fc1 = rl.Conv2d(hidden, 1, use_bias=False, weight_init=self.weight_init,
+                        name="fc1")
+        fc2 = rl.Conv2d(self.channels, 1, use_bias=False,
+                        weight_init=self.weight_init, name="fc2")
+
+        def fc(v):
+            return fc2(rl.relu(fc1(v)))
+
+        avg_out = fc(rl.adaptive_avg_pool_1(x))
+        max_out = fc(rl.adaptive_max_pool_1(x))
+        out = max_out if self.max_only else avg_out + max_out
+        return jnp.reciprocal(1.0 + jnp.exp(-out))
+
+
+class RealSpatialAttention(nn.Module):
+    kernel_size: int = 7
+    weight_init: str = "xavier_uniform"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        avg_out = jnp.mean(x, axis=-1, keepdims=True)
+        max_out = jnp.max(x, axis=-1, keepdims=True)
+        cat = jnp.concatenate([avg_out, max_out], axis=-1)
+        conv = rl.Conv2d(1, self.kernel_size, padding=self.kernel_size // 2,
+                         use_bias=False, weight_init=self.weight_init, name="conv")
+        return jnp.reciprocal(1.0 + jnp.exp(-conv(cat)))
+
+
+class ComplexChannelAttention(nn.Module):
+    channels: int
+    reduction: int
+    maxpool_is_avg: bool = True  # Quirks.complex_maxpool_is_avg
+    weight_init: str = "xavier_uniform"
+
+    @nn.compact
+    def __call__(self, x: CArray) -> CArray:
+        hidden = max(self.channels // self.reduction, 1)
+        fc1 = cl.ComplexConv2d(hidden, 1, use_bias=False,
+                               weight_init=self.weight_init, name="fc1")
+        fc2 = cl.ComplexConv2d(self.channels, 1, use_bias=False,
+                               weight_init=self.weight_init, name="fc2")
+
+        def fc(v):
+            return fc2(cl.complex_relu(fc1(v)))
+
+        avg_out = fc(cl.complex_adaptive_avg_pool_1(x))
+        max_out = fc(cl.complex_adaptive_max_pool_1(
+            x, faithful_avg=self.maxpool_is_avg))
+        return cl.complex_sigmoid(avg_out + max_out)
+
+
+class ComplexSpatialAttention(nn.Module):
+    kernel_size: int = 7
+    weight_init: str = "xavier_uniform"
+
+    @nn.compact
+    def __call__(self, x: CArray) -> CArray:
+        avg_out = CArray(
+            jnp.mean(x.re, axis=-1, keepdims=True),
+            jnp.mean(x.im, axis=-1, keepdims=True))
+        max_out = CArray(
+            jnp.max(x.re, axis=-1, keepdims=True),
+            jnp.max(x.im, axis=-1, keepdims=True))
+        cat = CArray(
+            jnp.concatenate([avg_out.re, max_out.re], axis=-1),
+            jnp.concatenate([avg_out.im, max_out.im], axis=-1))
+        conv = cl.ComplexConv2d(1, self.kernel_size, padding=self.kernel_size // 2,
+                                use_bias=False, weight_init=self.weight_init,
+                                name="conv")
+        return cl.complex_sigmoid(conv(cat))

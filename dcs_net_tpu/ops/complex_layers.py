@@ -1,0 +1,294 @@
+"""Complex-valued NN layers, TPU-first.
+
+Semantics follow the complexPyTorch-v0.3 surface the reference consumes
+(SURVEY.md §2.5; /root/reference/c_network.py:5-7): each complex op is a pair
+of real sub-ops (f_r, f_i) combined as
+
+    out = (f_r(x_r) - f_i(x_i)) + i (f_r(x_i) + f_i(x_r))
+
+Implementation is NOT four separate real ops: the (re, im) planes are packed
+on the channel (lane) axis and the pair becomes ONE real conv/matmul with a
+block kernel [[Wr, Wi], [-Wi, Wr]] — a single MXU contraction with 2x
+channels, which XLA tiles far better than 4 half-size convs. Biases keep the
+torch pairing (b_r, b_i) -> (b_r - b_i, b_r + b_i) coming from each real
+sub-op applying its own bias.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dcs_net_tpu.ops import initializers as init
+from dcs_net_tpu.utils.carray import CArray
+
+Pair = Tuple[int, int]
+
+
+def _pair(k) -> Pair:
+    return (k, k) if isinstance(k, int) else tuple(k)
+
+
+def _block_kernel(wr: jnp.ndarray, wi: jnp.ndarray) -> jnp.ndarray:
+    """(kh, kw, cin, cout) pair -> (kh, kw, 2cin, 2cout) block kernel.
+
+    Packed conv([x_r | x_i], K) yields [out_r | out_i] with
+    out_r = x_r*Wr - x_i*Wi, out_i = x_r*Wi + x_i*Wr.
+    """
+    top = jnp.concatenate([wr, wi], axis=-1)      # cin rows: (.., cin, 2cout)
+    bot = jnp.concatenate([-wi, wr], axis=-1)     # cin rows for x_i
+    return jnp.concatenate([top, bot], axis=-2)   # (.., 2cin, 2cout)
+
+
+def _combined_bias(br: jnp.ndarray, bi: jnp.ndarray) -> jnp.ndarray:
+    return jnp.concatenate([br - bi, br + bi])
+
+
+class ComplexConv2d(nn.Module):
+    """complexPyTorch ComplexConv2d as one packed real conv."""
+
+    features: int
+    kernel_size: int
+    stride: Pair = (1, 1)
+    padding: int = 0
+    use_bias: bool = True
+    weight_init: str = "xavier_uniform"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: CArray) -> CArray:
+        kh, kw = _pair(self.kernel_size)
+        cin = x.shape[-1]
+        fan_in, fan_out = cin * kh * kw, self.features * kh * kw
+        w_init = init.weight_init(self.weight_init, fan_in, fan_out)
+        wr = self.param("kernel_r", w_init, (kh, kw, cin, self.features))
+        wi = self.param("kernel_i", w_init, (kh, kw, cin, self.features))
+        packed = jnp.concatenate([x.re, x.im], axis=-1).astype(self.dtype)
+        p = self.padding
+        y = jax.lax.conv_general_dilated(
+            packed, _block_kernel(wr, wi).astype(self.dtype),
+            window_strides=self.stride,
+            padding=((p, p), (p, p)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            b_init = init.torch_bias_uniform(fan_in)
+            br = self.param("bias_r", b_init, (self.features,))
+            bi = self.param("bias_i", b_init, (self.features,))
+            y = y + _combined_bias(br, bi)
+        return CArray.unpack_channels(y, axis=-1)
+
+
+class ComplexConvTranspose2d(nn.Module):
+    """complexPyTorch ComplexConvTranspose2d; stride (1,1) in this family
+    (/root/reference/config.py:100), implemented like real_layers.ConvTranspose2d
+    on the packed block kernel."""
+
+    features: int
+    kernel_size: int
+    stride: Pair = (1, 1)
+    padding: int = 0
+    use_bias: bool = True
+    weight_init: str = "xavier_uniform"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: CArray) -> CArray:
+        kh, kw = _pair(self.kernel_size)
+        cin = x.shape[-1]
+        fan_in, fan_out = self.features * kh * kw, cin * kh * kw
+        w_init = init.weight_init(self.weight_init, fan_in, fan_out)
+        wr = self.param("kernel_r", w_init, (kh, kw, cin, self.features))
+        wi = self.param("kernel_i", w_init, (kh, kw, cin, self.features))
+        packed = jnp.concatenate([x.re, x.im], axis=-1).astype(self.dtype)
+        kernel = jnp.flip(_block_kernel(wr, wi), axis=(0, 1)).astype(self.dtype)
+        p = self.padding
+        y = jax.lax.conv_general_dilated(
+            packed, kernel,
+            window_strides=(1, 1),
+            padding=((kh - 1 - p, kh - 1 - p), (kw - 1 - p, kw - 1 - p)),
+            lhs_dilation=self.stride,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            b_init = init.torch_bias_uniform(fan_in)
+            br = self.param("bias_r", b_init, (self.features,))
+            bi = self.param("bias_i", b_init, (self.features,))
+            y = y + _combined_bias(br, bi)
+        return CArray.unpack_channels(y, axis=-1)
+
+
+class ComplexLinear(nn.Module):
+    """complexPyTorch ComplexLinear as one packed matmul."""
+
+    features: int
+    use_bias: bool = True
+    weight_init: str = "xavier_uniform"
+
+    @nn.compact
+    def __call__(self, x: CArray) -> CArray:
+        fan_in, fan_out = x.shape[-1], self.features
+        w_init = init.weight_init(self.weight_init, fan_in, fan_out)
+        wr = self.param("kernel_r", w_init, (fan_in, self.features))
+        wi = self.param("kernel_i", w_init, (fan_in, self.features))
+        packed = jnp.concatenate([x.re, x.im], axis=-1)
+        block = jnp.concatenate([
+            jnp.concatenate([wr, wi], axis=-1),
+            jnp.concatenate([-wi, wr], axis=-1)], axis=-2)
+        y = packed @ block
+        if self.use_bias:
+            b_init = init.torch_bias_uniform(fan_in)
+            br = self.param("bias_r", b_init, (self.features,))
+            bi = self.param("bias_i", b_init, (self.features,))
+            y = y + _combined_bias(br, bi)
+        return CArray.unpack_channels(y, axis=-1)
+
+
+class ComplexBatchNorm2d(nn.Module):
+    """Trabelsi-style whitening complex BN (complexPyTorch ComplexBatchNorm2d).
+
+    Per channel: center by the complex mean, whiten by the inverse square root
+    of the 2x2 (re, im) covariance, then apply a learnable 2x2 Gamma and
+    complex beta. Running stats (mean + covariance triple) are tracked with
+    torch momentum semantics.
+
+    Init follows Trabelsi et al. (Deep Complex Networks): Gamma_rr = Gamma_ii
+    = 1/sqrt(2), Gamma_ri = 0, running V_rr = V_ii = 1/sqrt(2) — so a unit
+    complex input keeps unit modulus variance at init. (complexPyTorch v0.3
+    uses the same constants; it is not installable here to diff against, so
+    these constants are asserted by property tests rather than golden files.)
+
+    The batch covariance diagonal gets +eps (matching the reference library's
+    Crr/Cii + eps before inversion); Cri does not.
+    """
+
+    features: int
+    eps: float = 1e-5
+    momentum: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: CArray, *, train: bool) -> CArray:
+        f = self.features
+        inv_sqrt2 = 0.7071067811865476
+        grr = self.param("gamma_rr", lambda k, s: jnp.full(s, inv_sqrt2), (f,))
+        gii = self.param("gamma_ii", lambda k, s: jnp.full(s, inv_sqrt2), (f,))
+        gri = self.param("gamma_ri", nn.initializers.zeros, (f,))
+        beta_r = self.param("beta_r", nn.initializers.zeros, (f,))
+        beta_i = self.param("beta_i", nn.initializers.zeros, (f,))
+        r_mean_r = self.variable("batch_stats", "mean_r", lambda: jnp.zeros(f))
+        r_mean_i = self.variable("batch_stats", "mean_i", lambda: jnp.zeros(f))
+        r_vrr = self.variable("batch_stats", "vrr", lambda: jnp.full((f,), inv_sqrt2))
+        r_vii = self.variable("batch_stats", "vii", lambda: jnp.full((f,), inv_sqrt2))
+        r_vri = self.variable("batch_stats", "vri", lambda: jnp.zeros(f))
+
+        axes = tuple(range(x.re.ndim - 1))
+        if train:
+            mean_r = jnp.mean(x.re, axes)
+            mean_i = jnp.mean(x.im, axes)
+            xr = x.re - mean_r
+            xi = x.im - mean_i
+            vrr = jnp.mean(xr * xr, axes) + self.eps
+            vii = jnp.mean(xi * xi, axes) + self.eps
+            vri = jnp.mean(xr * xi, axes)
+            if not self.is_initializing():
+                n = x.re.size // f
+                unb = n / max(n - 1, 1)
+                m = self.momentum
+                r_mean_r.value = (1 - m) * r_mean_r.value + m * mean_r
+                r_mean_i.value = (1 - m) * r_mean_i.value + m * mean_i
+                r_vrr.value = (1 - m) * r_vrr.value + m * (vrr - self.eps) * unb
+                r_vii.value = (1 - m) * r_vii.value + m * (vii - self.eps) * unb
+                r_vri.value = (1 - m) * r_vri.value + m * vri * unb
+        else:
+            xr = x.re - r_mean_r.value
+            xi = x.im - r_mean_i.value
+            vrr = r_vrr.value + self.eps
+            vii = r_vii.value + self.eps
+            vri = r_vri.value
+
+        # inverse sqrt of [[vrr, vri], [vri, vii]]
+        det = vrr * vii - vri * vri
+        s = jnp.sqrt(det)
+        t = jnp.sqrt(vrr + vii + 2.0 * s)
+        inv_st = 1.0 / (s * t)
+        rrr = (vii + s) * inv_st
+        rii = (vrr + s) * inv_st
+        rri = -vri * inv_st
+
+        wr = rrr * xr + rri * xi
+        wi = rri * xr + rii * xi
+        out_r = grr * wr + gri * wi + beta_r
+        out_i = gri * wr + gii * wi + beta_i
+        return CArray(out_r, out_i)
+
+
+# -- activations / pools / resampling (split re/im semantics) ----------------
+
+def complex_relu(x: CArray) -> CArray:
+    """ComplexReLU: split ReLU (complexPyTorch; matches the first-party
+    pattern at /root/reference/network_functions.py:103-105)."""
+    return CArray(jnp.maximum(x.re, 0), jnp.maximum(x.im, 0))
+
+
+def complex_leaky_relu(x: CArray, negative_slope: float = 0.01) -> CArray:
+    """ComplexLReLU (/root/reference/network_functions.py:98-105)."""
+    return CArray(
+        jnp.where(x.re >= 0, x.re, negative_slope * x.re),
+        jnp.where(x.im >= 0, x.im, negative_slope * x.im))
+
+
+def complex_sigmoid(x: CArray) -> CArray:
+    """ComplexSigmoid (/root/reference/network_functions.py:107-112)."""
+    return CArray(jax.nn.sigmoid(x.re), jax.nn.sigmoid(x.im))
+
+
+def complex_upsample_nearest(x: CArray, scale: Pair) -> CArray:
+    """complex_upsample: nearest interpolation on re and im separately
+    (/root/reference/c_network.py:215-216)."""
+    from dcs_net_tpu.ops.real_layers import upsample_nearest
+
+    return CArray(upsample_nearest(x.re, scale), upsample_nearest(x.im, scale))
+
+
+def complex_adaptive_avg_pool_1(x: CArray) -> CArray:
+    """(B, H, W, C) -> (B, 1, 1, C) complex mean
+    (/root/reference/network_functions.py:114-125)."""
+    return CArray(
+        jnp.mean(x.re, axis=(-3, -2), keepdims=True),
+        jnp.mean(x.im, axis=(-3, -2), keepdims=True))
+
+
+def complex_adaptive_max_pool_1(x: CArray, *, faithful_avg: bool) -> CArray:
+    """Reference quirk: the 'max' pool is actually an avg pool
+    (/root/reference/network_functions.py:127-138). Idiomatic mode does a true
+    componentwise max (the evident intent, mirroring ComplexSpatialAttention's
+    per-component max at /root/reference/c_network.py:79-81)."""
+    if faithful_avg:
+        return complex_adaptive_avg_pool_1(x)
+    return CArray(
+        jnp.max(x.re, axis=(-3, -2), keepdims=True),
+        jnp.max(x.im, axis=(-3, -2), keepdims=True))
+
+
+class ComplexDropout(nn.Module):
+    """Dropout through view_as_real: independent masks for re and im
+    (/root/reference/c_network.py:195-196,203-204,221-222)."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: CArray, *, train: bool) -> CArray:
+        if not train or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(rng, keep, x.shape + (2,))
+        scale = 1.0 / keep
+        return CArray(
+            jnp.where(mask[..., 0], x.re * scale, 0.0),
+            jnp.where(mask[..., 1], x.im * scale, 0.0))

@@ -1,0 +1,134 @@
+"""Multi-layer bidirectional LSTM as `lax.scan`, with torch-exact cell math.
+
+The reference's latent bottleneck is a 2-layer bidirectional torch LSTM over
+64 timesteps (/root/reference/r_network.py:70-74), and the complex variant runs
+two such LSTMs combined as (L_r + i L_i)(x_r + i x_i)
+(/root/reference/c_network.py:12-51).
+
+TPU-first structure:
+  * the input projection x @ W_ih^T + b for ALL timesteps is hoisted out of
+    the recurrence into one large MXU matmul;
+  * the scan body contains only the (B, H) @ (H, 4H) recurrent matmul and the
+    gate nonlinearities — the minimal serial work;
+  * the complex LSTM batches (x_re, x_im) on the batch axis so each of the two
+    real LSTMs runs ONCE on a 2B batch (2 scans total instead of the
+    reference's 4 sequential LSTM invocations).
+
+Parameter naming/shape maps 1:1 onto torch's
+``weight_ih_l{k}[_reverse]`` etc., stored transposed for right-matmul:
+w_ih: (in, 4H), w_hh: (H, 4H), gate order (i, f, g, o).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dcs_net_tpu.ops.initializers import lstm_uniform
+from dcs_net_tpu.utils.carray import CArray
+
+State = Tuple[jnp.ndarray, jnp.ndarray]  # (h, c) each (num_layers*D, B, H)
+
+
+def _lstm_scan(xp: jnp.ndarray, w_hh: jnp.ndarray, h0: jnp.ndarray,
+               c0: jnp.ndarray, reverse: bool) -> Tuple[jnp.ndarray, State]:
+    """xp: (T, B, 4H) precomputed input projections; returns ((T, B, H), (h, c))."""
+
+    def step(carry, xt):
+        h, c = carry
+        gates = xt + h @ w_hh
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i = jax.nn.sigmoid(i)
+        f = jax.nn.sigmoid(f)
+        g = jnp.tanh(g)
+        o = jax.nn.sigmoid(o)
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c), h
+
+    (h_f, c_f), hs = jax.lax.scan(step, (h0, c0), xp, reverse=reverse)
+    return hs, (h_f, c_f)
+
+
+class LSTM(nn.Module):
+    """torch.nn.LSTM(batch_first=True) semantics."""
+
+    hidden_size: int
+    num_layers: int = 1
+    bidirectional: bool = False
+
+    @property
+    def num_directions(self) -> int:
+        return 2 if self.bidirectional else 1
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, state: Optional[State] = None
+    ) -> Tuple[jnp.ndarray, State]:
+        """x: (B, T, F) -> (out (B, T, H*D), (h, c) each (L*D, B, H))."""
+        B, T, _ = x.shape
+        H, D = self.hidden_size, self.num_directions
+        u = lstm_uniform(H)
+        if state is None:
+            h0 = jnp.zeros((self.num_layers * D, B, H), x.dtype)
+            c0 = jnp.zeros_like(h0)
+        else:
+            h0, c0 = state
+
+        layer_in = x
+        h_out, c_out = [], []
+        for layer in range(self.num_layers):
+            in_features = layer_in.shape[-1]
+            dir_outs = []
+            for d in range(D):
+                sfx = f"l{layer}" + ("_reverse" if d == 1 else "")
+                w_ih = self.param(f"w_ih_{sfx}", u, (in_features, 4 * H))
+                w_hh = self.param(f"w_hh_{sfx}", u, (H, 4 * H))
+                b_ih = self.param(f"b_ih_{sfx}", u, (4 * H,))
+                b_hh = self.param(f"b_hh_{sfx}", u, (4 * H,))
+                # one big MXU matmul for the whole sequence
+                xp = layer_in @ w_ih + (b_ih + b_hh)      # (B, T, 4H)
+                xp = jnp.swapaxes(xp, 0, 1)               # (T, B, 4H)
+                idx = layer * D + d
+                hs, (h_f, c_f) = _lstm_scan(xp, w_hh, h0[idx], c0[idx],
+                                            reverse=(d == 1))
+                dir_outs.append(jnp.swapaxes(hs, 0, 1))   # (B, T, H)
+                h_out.append(h_f)
+                c_out.append(c_f)
+            layer_in = jnp.concatenate(dir_outs, axis=-1) if D == 2 else dir_outs[0]
+        return layer_in, (jnp.stack(h_out), jnp.stack(c_out))
+
+
+class ComplexLSTM(nn.Module):
+    """The reference ComplexLSTM (/root/reference/c_network.py:12-51):
+    out = (L_r(x_r) - L_i(x_i)) + i (L_r(x_i) + L_i(x_r)).
+
+    Each real LSTM runs once on the 2B-stacked (x_r, x_i) batch. The optional
+    ``state`` carries both LSTMs' states on that stacked batch (used by the
+    streaming enhancement path)."""
+
+    hidden_size: int
+    num_layers: int = 1
+    bidirectional: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: CArray,
+        state: Optional[Tuple[State, State]] = None,
+    ) -> Tuple[CArray, Tuple[State, State]]:
+        stacked = jnp.concatenate([x.re, x.im], axis=0)  # (2B, T, F)
+        lstm_r = LSTM(self.hidden_size, self.num_layers, self.bidirectional,
+                      name="real_lstm")
+        lstm_i = LSTM(self.hidden_size, self.num_layers, self.bidirectional,
+                      name="imag_lstm")
+        sr, si = state if state is not None else (None, None)
+        out_r, sr2 = lstm_r(stacked, sr)   # [L_r(x_r); L_r(x_i)]
+        out_i, si2 = lstm_i(stacked, si)   # [L_i(x_r); L_i(x_i)]
+        B = x.re.shape[0]
+        r2r, r2i = out_r[:B], out_r[B:]
+        i2r, i2i = out_i[:B], out_i[B:]
+        return CArray(r2r - i2i, r2i + i2r), (sr2, si2)

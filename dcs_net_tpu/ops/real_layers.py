@@ -1,0 +1,201 @@
+"""Real-valued NN layers with exact torch semantics, NHWC layout.
+
+These back the DR/DRS variants (reference C5, /root/reference/r_network.py) and
+are the building blocks the complex layers compose. Data layout is NHWC
+(B, F, T, C) — channels on the TPU lane dimension — vs the reference's NCHW;
+tests convert torch weights to verify numerical parity.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dcs_net_tpu.ops import initializers as init
+
+Pair = Tuple[int, int]
+
+
+def _pair(k) -> Pair:
+    return (k, k) if isinstance(k, int) else tuple(k)
+
+
+class Conv2d(nn.Module):
+    """torch.nn.Conv2d semantics (symmetric zero padding, cross-correlation).
+
+    Kernel stored flax-style (kh, kw, cin, cout); init distributions computed
+    with torch fan rules (initializers.py).
+    """
+
+    features: int
+    kernel_size: int
+    stride: Pair = (1, 1)
+    padding: int = 0
+    use_bias: bool = True
+    weight_init: str = "xavier_uniform"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = _pair(self.kernel_size)
+        cin = x.shape[-1]
+        fan_in, fan_out = cin * kh * kw, self.features * kh * kw
+        kernel = self.param(
+            "kernel", init.weight_init(self.weight_init, fan_in, fan_out),
+            (kh, kw, cin, self.features))
+        p = self.padding
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=self.stride,
+            padding=((p, p), (p, p)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            bias = self.param("bias", init.torch_bias_uniform(fan_in), (self.features,))
+            y = y + bias
+        return y
+
+
+class ConvTranspose2d(nn.Module):
+    """torch.nn.ConvTranspose2d semantics.
+
+    Implemented as conv_general_dilated with lhs (input) dilation = stride and
+    flipped kernels — the standard transpose-as-fractionally-strided-conv
+    identity — with padding k-1-p per side. output_padding unsupported (the
+    reference only uses stride (1,1): /root/reference/config.py:100).
+    """
+
+    features: int
+    kernel_size: int
+    stride: Pair = (1, 1)
+    padding: int = 0
+    use_bias: bool = True
+    weight_init: str = "xavier_uniform"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = _pair(self.kernel_size)
+        cin = x.shape[-1]
+        # torch convT weight is (Cin, Cout, kh, kw): fan_in uses dim1 = Cout.
+        fan_in, fan_out = self.features * kh * kw, cin * kh * kw
+        kernel = self.param(
+            "kernel", init.weight_init(self.weight_init, fan_in, fan_out),
+            (kh, kw, cin, self.features))
+        p = self.padding
+        flipped = jnp.flip(kernel, axis=(0, 1)).astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), flipped,
+            window_strides=(1, 1),
+            padding=((kh - 1 - p, kh - 1 - p), (kw - 1 - p, kw - 1 - p)),
+            lhs_dilation=self.stride,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            bias = self.param("bias", init.torch_bias_uniform(fan_in), (self.features,))
+            y = y + bias
+        return y
+
+
+class Linear(nn.Module):
+    """torch.nn.Linear semantics: y = x W^T + b, weight (out, in) fan rules."""
+
+    features: int
+    use_bias: bool = True
+    weight_init: str = "xavier_uniform"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        fan_in, fan_out = x.shape[-1], self.features
+        kernel = self.param(
+            "kernel", init.weight_init(self.weight_init, fan_in, fan_out),
+            (fan_in, self.features))
+        y = x @ kernel
+        if self.use_bias:
+            bias = self.param("bias", init.torch_bias_uniform(fan_in), (self.features,))
+            y = y + bias
+        return y
+
+
+class BatchNorm2d(nn.Module):
+    """torch.nn.BatchNorm2d semantics over NHWC.
+
+    Train: normalize with biased batch variance; running stats updated with
+    momentum 0.1 and the UNBIASED variance (torch's quirkily mixed convention).
+    Eval: running stats. Stats live in the 'batch_stats' collection.
+    """
+
+    features: int
+    eps: float = 1e-5
+    momentum: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
+        gamma = self.param("scale", nn.initializers.ones, (self.features,))
+        beta = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(self.features))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(self.features))
+        if train:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x, axes)
+            var = jnp.mean(jnp.square(x - mean), axes)  # biased
+            n = x.size // self.features
+            unbiased = var * (n / max(n - 1, 1))
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        return y * gamma + beta
+
+
+def relu(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.maximum(x, 0)
+
+
+def leaky_relu(x: jnp.ndarray, negative_slope: float = 0.01) -> jnp.ndarray:
+    """torch default slope 0.01 (nn.LeakyReLU())."""
+    return jnp.where(x >= 0, x, negative_slope * x)
+
+
+def upsample_nearest(x: jnp.ndarray, scale: Pair) -> jnp.ndarray:
+    """nn.Upsample(mode='nearest') with integer scale over NHWC == exact repeat."""
+    sh, sw = scale
+    if sh > 1:
+        x = jnp.repeat(x, sh, axis=-3)
+    if sw > 1:
+        x = jnp.repeat(x, sw, axis=-2)
+    return x
+
+
+def adaptive_avg_pool_1(x: jnp.ndarray) -> jnp.ndarray:
+    """AdaptiveAvgPool2d(1) over NHWC -> (B, 1, 1, C)."""
+    return jnp.mean(x, axis=(-3, -2), keepdims=True)
+
+
+def adaptive_max_pool_1(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.max(x, axis=(-3, -2), keepdims=True)
+
+
+class Dropout(nn.Module):
+    """torch inverted dropout; needs the 'dropout' rng when train=True."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
+        if not train or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(rng, keep, x.shape)
+        return jnp.where(mask, x / keep, 0.0)

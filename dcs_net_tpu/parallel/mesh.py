@@ -1,0 +1,115 @@
+"""Data-parallel sharding over a jax.sharding.Mesh.
+
+The model (~couple M params) fits a single chip, so the production sharding is
+utterance-batch DP — the one real distributed axis of this family (SURVEY.md
+§2.3): parameters/opt-state replicated, batches sharded on the leading axis,
+gradient all-reduce inserted by the SPMD partitioner and riding ICI within a
+slice / DCN across hosts. This replaces the reference's vestigial
+NCCL-DDP-in-comments (/root/reference/train.py:62-63).
+
+Multi-host: `init_distributed` wires jax.distributed; per-host input sharding
+comes from data/partition.shard_ids + `host_local_batch` here.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dcs_net_tpu.core.config import Config
+
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """jax.distributed.initialize for multi-host pods; no-op when single-host
+    (auto-detection via TPU metadata when args are None)."""
+    if num_processes is not None and num_processes <= 1:
+        return
+    kwargs = {}
+    if coordinator is not None:
+        kwargs = dict(coordinator_address=coordinator,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
+def make_mesh(devices: Optional[Sequence[Any]] = None,
+              axis_name: str = "data") -> Mesh:
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def dp_devices(batch_size: int,
+               devices: Optional[Sequence[Any]] = None) -> Sequence[Any]:
+    """Largest device prefix whose count divides the global batch (a batch of
+    2 on an 8-device host uses 2 devices rather than failing the sharding)."""
+    devices = list(devices) if devices is not None else jax.devices()
+    n = len(devices)
+    while n > 1 and batch_size % n:
+        n -= 1
+    return devices[:n]
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis_name))
+
+
+def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
+    """Device-put every leaf with its leading axis sharded over the mesh."""
+    sh = batch_sharding(mesh, axis_name)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def make_dp_train_step(model, cfg: Config, tx, mesh: Mesh):
+    """The jitted DP training step.
+
+    State is replicated and donated; batch leaves are sharded on the batch
+    axis. The mean-reduction in the loss makes the partitioner emit a gradient
+    all-reduce (psum) over the 'data' axis — no hand-written collectives.
+    """
+    from dcs_net_tpu.train.steps import make_train_step
+
+    step = make_train_step(model, cfg, tx)
+    repl = replicated(mesh)
+    data = batch_sharding(mesh, cfg.run.data_axis)
+    return jax.jit(
+        step,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if cfg.run.donate_state else (),
+    )
+
+
+def make_dp_eval_step(model, cfg: Config, mesh: Mesh):
+    """Eval step follows its inputs' shardings (eval/test batches may be
+    ragged — drop_last=False val tails, batch-size-1 test — so the caller
+    shards each batch over a divisor sub-mesh via shard_batch + dp_devices)."""
+    from dcs_net_tpu.train.steps import make_eval_step
+
+    del mesh
+    return jax.jit(make_eval_step(model, cfg))
+
+
+def host_local_batch_size(global_batch: int) -> int:
+    n = jax.process_count()
+    assert global_batch % n == 0, (
+        f"global batch {global_batch} not divisible by host count {n}")
+    return global_batch // n
+
+
+def form_global_batch(local_arrays: Any, mesh: Mesh, axis_name: str = "data") -> Any:
+    """Multi-host: assemble a globally-sharded array from per-host local data
+    (jax.make_array_from_process_local_data)."""
+    sh = batch_sharding(mesh, axis_name)
+
+    def make(x):
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+    return jax.tree.map(make, local_arrays)

@@ -1,0 +1,228 @@
+"""The training loop: the framework-native replacement for the reference's
+outsourced PyTorch-Lightning Trainer (/root/reference/train.py:137-152).
+
+Per epoch: train steps (NaN-skip gate, grad-norm probe every
+log_every_n_steps), validation (losses + PESQ/STOI host-side + epoch audio
+logging), ReduceLROnPlateau on the monitored metric, SWA parameter averaging,
+orbax checkpointing, throughput counters (audio-seconds/s/chip).
+
+Faithful details: the plateau monitor is 'val_loss' for subtractive variants
+but the TRAIN 'speech_loss' for plain ones (the reference's quirk at
+/root/reference/r_network.py:186); a sanity-val pass of
+``num_sanity_val_steps`` batches runs before training.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dcs_net_tpu.core.config import Config
+from dcs_net_tpu.metrics.harness import calc_metric, stoi_metric
+from dcs_net_tpu.models.unet import DCSNet
+from dcs_net_tpu.obs.logging import (ThroughputMeter, Writer, log_epoch_audio,
+                                     log_input_histograms)
+from dcs_net_tpu.parallel import mesh as pmesh
+from dcs_net_tpu.train import steps as S
+from dcs_net_tpu.train.checkpoint import CheckpointManager
+from dcs_net_tpu.train.optim import (SWA, ReduceLROnPlateau, get_lr,
+                                     make_optimizer, set_lr)
+
+
+@dataclass
+class TrainerCallbacks:
+    """Hook points (HPO pruning, early stop)."""
+
+    on_validation_end: Optional[Callable[[int, Dict[str, float]], bool]] = None
+    # return True to stop training (e.g. Optuna prune)
+
+
+class Trainer:
+    def __init__(self, cfg: Config, log_dir: Optional[str] = None,
+                 use_tensorboard: bool = True, pesq_fn=None):
+        self.cfg = cfg
+        self.model = DCSNet(cfg.model, cfg.quirks)
+        self.tx = make_optimizer(cfg.optim)
+        self.mesh = pmesh.make_mesh(
+            pmesh.dp_devices(cfg.data.batch_size), axis_name=cfg.run.data_axis)
+        self.writer = Writer(log_dir or cfg.run.log_dir, use_tensorboard)
+        self.plateau = ReduceLROnPlateau(
+            factor=cfg.optim.plateau_factor, patience=cfg.optim.plateau_patience,
+            threshold=cfg.optim.plateau_threshold, min_lr=cfg.optim.plateau_min_lr)
+        self.swa = SWA(start_epoch=int(cfg.optim.swa_start_frac * cfg.run.max_epochs)) \
+            if cfg.optim.swa else None
+        self.pesq_fn = pesq_fn  # optional: injected PESQ callable
+        self._train_step = pmesh.make_dp_train_step(self.model, cfg, self.tx, self.mesh)
+        self._eval_step = pmesh.make_dp_eval_step(self.model, cfg, self.mesh)
+        self._make_batch = jax.jit(
+            lambda noisy, clean: S.batch_from_waves(noisy, clean, cfg))
+        self.state: Optional[S.TrainState] = None
+        self.epoch = 0
+        self._last_train_metrics: Dict[str, float] = {}
+
+    # -- state --------------------------------------------------------------
+    def init_state(self, seed: Optional[int] = None) -> None:
+        rng = jax.random.PRNGKey(self.cfg.run.seed if seed is None else seed)
+        crop = self.cfg.data.crop_samples
+        sample = jnp.zeros((self.cfg.data.batch_size, crop))
+        batch = self._make_batch(sample, sample)
+        x = batch.noisy if self.cfg.model.complex_valued else batch.noisy.abs()
+        self.state = S.init_state(self.model, self.cfg, self.tx, rng, x)
+        self.state = jax.device_put(self.state, pmesh.replicated(self.mesh))
+
+    def _device_batch(self, host_batch: Dict[str, np.ndarray]) -> S.Batch:
+        noisy = jnp.asarray(host_batch["noisy"])
+        clean = jnp.asarray(host_batch["clean"])
+        batch = self._make_batch(noisy, clean)
+        # ragged tails (drop_last=False val tails, batch-1 test) can't shard
+        # over the full mesh; replicate them instead so every array in the
+        # step lives on the same device set.
+        n = noisy.shape[0]
+        if n % self.mesh.devices.size == 0:
+            return pmesh.shard_batch(batch, self.mesh, self.cfg.run.data_axis)
+        return jax.tree.map(
+            lambda x: jax.device_put(x, pmesh.replicated(self.mesh)), batch)
+
+    # -- epochs -------------------------------------------------------------
+    def train_epoch(self, batches: Iterable[Dict[str, np.ndarray]],
+                    epoch: int) -> Dict[str, float]:
+        assert self.state is not None, "call init_state() first"
+        cfg = self.cfg
+        meter = ThroughputMeter(
+            cfg.data.batch_size * cfg.data.crop_samples / cfg.data.sr)
+        agg: Dict[str, List[float]] = {}
+        rng = jax.random.PRNGKey((cfg.run.seed, epoch).__hash__() & 0x7FFFFFFF)
+        step_in_epoch = 0
+        for host_batch in batches:
+            batch = self._device_batch(host_batch)
+            rng, sub = jax.random.split(rng)
+            self.state, metrics = self._train_step(self.state, batch, sub)
+            meter.tick()
+            step_in_epoch += 1
+            gstep = int(self.state.step)
+            if gstep % cfg.run.log_every_n_steps == 0:
+                host_metrics = {k: float(v) for k, v in metrics.items()}
+                self.writer.scalars(host_metrics, gstep, prefix="train/")
+                self.writer.scalar("train/lr", get_lr(self.state.opt_state), gstep)
+                if meter.audio_seconds_per_sec:
+                    self.writer.scalar("perf/audio_seconds_per_s",
+                                       meter.audio_seconds_per_sec, gstep)
+                log_input_histograms(self.writer, batch, gstep)
+            for k, v in metrics.items():
+                agg.setdefault(k, []).append(float(v))
+        out = {k: float(np.mean(v)) for k, v in agg.items() if v}
+        out["epoch"] = epoch
+        if meter.audio_seconds_per_sec:
+            out["audio_seconds_per_s"] = meter.audio_seconds_per_sec
+        self._last_train_metrics = out
+        return out
+
+    def eval_epoch(self, batches: Iterable[Dict[str, np.ndarray]],
+                   epoch: int, phase: str = "val",
+                   compute_metrics: bool = True,
+                   max_batches: Optional[int] = None) -> Dict[str, float]:
+        assert self.state is not None
+        cfg = self.cfg
+        agg: Dict[str, List[float]] = {}
+        last_audio: Dict[str, np.ndarray] = {}
+        for i, host_batch in enumerate(batches):
+            if max_batches is not None and i >= max_batches:
+                break
+            batch = self._device_batch(host_batch)
+            losses, audio = self._eval_step(self.state, batch)
+            if not np.isfinite(float(losses["loss"])):
+                print(f"found a NaN in {phase} loss! (batch {i}, skipped)")
+                continue
+            for k, v in losses.items():
+                agg.setdefault(k, []).append(float(v))
+            if compute_metrics:
+                clean = np.asarray(audio["clean"])
+                pred = np.asarray(audio["predict_clean"])
+                agg.setdefault("stoi", []).append(
+                    calc_metric(clean, pred, cfg.data.sr, stoi_metric))
+                if self.pesq_fn is not None:
+                    agg.setdefault("pesq", []).append(
+                        calc_metric(clean, pred, cfg.data.sr, self.pesq_fn))
+            last_audio = {k: np.asarray(v) for k, v in audio.items()}
+        out = {f"{phase}_{k}": float(np.mean(v)) for k, v in agg.items() if v}
+        if last_audio:
+            # epoch & mask: the sanity pass uses epoch == -1; numpy seeds
+            # must be non-negative.
+            rng = np.random.default_rng((cfg.run.seed, epoch & 0x7FFFFFFF))
+            log_epoch_audio(self.writer, last_audio, int(self.state.step),
+                            cfg.data.sr, phase, rng,
+                            cfg.run.val_log_sample_size)
+        self.writer.scalars(out, int(self.state.step))
+        return out
+
+    # -- schedule / SWA -----------------------------------------------------
+    def monitored_metric(self, val_metrics: Dict[str, float]) -> float:
+        if self.cfg.model.subtractive:
+            return val_metrics.get("val_loss", float("inf"))
+        # plain variants monitor the TRAIN speech loss (reference quirk,
+        # r_network.py:186)
+        return self._last_train_metrics.get(
+            "speech_loss", val_metrics.get("val_speech_loss", float("inf")))
+
+    def end_of_epoch(self, epoch: int, val_metrics: Dict[str, float]) -> None:
+        lr = get_lr(self.state.opt_state)
+        new_lr = self.plateau.step(self.monitored_metric(val_metrics), lr)
+        if new_lr != lr:
+            self.state = self.state.replace(
+                opt_state=set_lr(self.state.opt_state, new_lr))
+            print(f"epoch {epoch}: reducing lr {lr:.3e} -> {new_lr:.3e}")
+        if self.swa is not None:
+            self.swa.update(epoch, self.state.params)
+        self.epoch = epoch + 1
+
+    def finalize_swa(self) -> None:
+        """Swap in the SWA-averaged parameters (Lightning transfers the
+        average at the end of fit)."""
+        if self.swa is not None and self.swa.active:
+            self.state = self.state.replace(params=self.swa.avg_params)
+
+    # -- fit ----------------------------------------------------------------
+    def fit(self, train_loader, val_loader,
+            callbacks: Optional[TrainerCallbacks] = None,
+            ckpt: Optional[CheckpointManager] = None,
+            max_epochs: Optional[int] = None) -> Dict[str, float]:
+        cfg = self.cfg
+        if self.state is None:
+            self.init_state()
+        # sanity val (num_sanity_val_steps batches) before training
+        if cfg.run.num_sanity_val_steps:
+            self.eval_epoch(val_loader.epoch(0), -1, phase="sanity",
+                            compute_metrics=False,
+                            max_batches=cfg.run.num_sanity_val_steps)
+        val_metrics: Dict[str, float] = {}
+        for epoch in range(self.epoch, max_epochs or cfg.run.max_epochs):
+            t0 = time.perf_counter()
+            train_metrics = self.train_epoch(train_loader.epoch(epoch), epoch)
+            val_metrics = self.eval_epoch(val_loader.epoch(epoch), epoch)
+            self.end_of_epoch(epoch, val_metrics)
+            dt = time.perf_counter() - t0
+            print(f"epoch {epoch}: "
+                  + " ".join(f"{k}={v:.4f}" for k, v in
+                             {**train_metrics, **val_metrics}.items()
+                             if isinstance(v, float)) + f" ({dt:.1f}s)")
+            if ckpt is not None:
+                extra = {
+                    "epoch": epoch,
+                    "plateau": self.plateau.state_dict(),
+                    "lr": get_lr(self.state.opt_state),
+                }
+                ckpt.save(int(self.state.step), self.state, extra=extra,
+                          config=cfg)
+            if callbacks and callbacks.on_validation_end:
+                if callbacks.on_validation_end(epoch, val_metrics):
+                    break
+        self.finalize_swa()
+        return val_metrics
+
+    def test(self, test_loader) -> Dict[str, float]:
+        return self.eval_epoch(test_loader.epoch(0), 0, phase="test")
