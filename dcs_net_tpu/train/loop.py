@@ -56,7 +56,18 @@ class Trainer:
             threshold=cfg.optim.plateau_threshold, min_lr=cfg.optim.plateau_min_lr)
         self.swa = SWA(start_epoch=int(cfg.optim.swa_start_frac * cfg.run.max_epochs)) \
             if cfg.optim.swa else None
-        self.pesq_fn = pesq_fn  # optional: injected PESQ callable
+        if pesq_fn is None:
+            # native P.862 module by default (reference computes PESQ every
+            # val/test step); disabled only if the .so fails to build.
+            try:
+                from dcs_net_tpu.metrics.harness import pesq_metric
+                from dcs_net_tpu.metrics.pesq import _load
+
+                _load()
+                pesq_fn = pesq_metric
+            except Exception:
+                pesq_fn = None
+        self.pesq_fn = pesq_fn
         self._train_step = pmesh.make_dp_train_step(self.model, cfg, self.tx, self.mesh)
         self._eval_step = pmesh.make_dp_eval_step(self.model, cfg, self.mesh)
         self._make_batch = jax.jit(
