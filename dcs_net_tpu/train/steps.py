@@ -72,10 +72,15 @@ def run_model_and_masks(
     noise_mag, noise_phase = batch.noise.abs(), batch.noise.angle(eps)
     noisy_mag, noisy_phase = batch.noisy.abs(), batch.noisy.angle(eps)
     clean_mag, clean_phase = batch.clean.abs(), batch.clean.angle(eps)
+    # one batched iSTFT for the three reference streams (3B x T x n_fft
+    # matmul instead of three B-sized ones — better MXU tiling)
+    ref_waves = to_wave(
+        jnp.stack([noise_mag, noisy_mag, clean_mag]),
+        jnp.stack([noise_phase, noisy_phase, clean_phase]))
     out: Dict[str, Any] = {
-        "noise_audio": to_wave(noise_mag, noise_phase),
-        "noisy_audio": to_wave(noisy_mag, noisy_phase),
-        "clean_audio": to_wave(clean_mag, clean_phase),
+        "noise_audio": ref_waves[0],
+        "noisy_audio": ref_waves[1],
+        "clean_audio": ref_waves[2],
     }
 
     cx, sub = cfg.model.complex_valued, cfg.model.subtractive
@@ -85,10 +90,13 @@ def run_model_and_masks(
             pred_mask = apply_mask_net(noisy_mag)
             pred_noise_mag = noisy_mag * pred_mask
             pred_clean_mag = noisy_mag - pred_noise_mag
+            pred_waves = to_wave(
+                jnp.stack([pred_noise_mag, pred_clean_mag]),
+                jnp.stack([noisy_phase, noisy_phase]))
             out.update(
                 target_mask=target_mask, pred_mask=pred_mask,
-                predict_noise_audio=to_wave(pred_noise_mag, noisy_phase),
-                predict_clean_audio=to_wave(pred_clean_mag, noisy_phase))
+                predict_noise_audio=pred_waves[0],
+                predict_clean_audio=pred_waves[1])
         else:  # DCS (network_functions.py:234-247)
             target_mask = M.bound_crm(M.crm(batch.noise, batch.noisy,
                                             cfg.loss.crm_eps), eps)
@@ -96,12 +104,15 @@ def run_model_and_masks(
             pred_mask = M.bound_crm(pred_out, eps) if q.double_bound_mask else pred_out
             pred_noise = batch.noisy * pred_mask
             pred_clean = batch.noisy - pred_noise
+            stacked = CArray(
+                jnp.stack([pred_noise.re, pred_clean.re]),
+                jnp.stack([pred_noise.im, pred_clean.im]))
+            pred_waves = dsp.spec_to_wave(
+                stacked, cfg.stft, atan2_eps=eps, pad_top=pad_top)
             out.update(
                 target_mask=target_mask, pred_mask=pred_mask,
-                predict_noise_audio=dsp.spec_to_wave(
-                    pred_noise, cfg.stft, atan2_eps=eps, pad_top=pad_top),
-                predict_clean_audio=dsp.spec_to_wave(
-                    pred_clean, cfg.stft, atan2_eps=eps, pad_top=pad_top))
+                predict_noise_audio=pred_waves[0],
+                predict_clean_audio=pred_waves[1])
     else:
         if not cx:  # DR (network_functions.py:261-267)
             pred_mask = apply_mask_net(noisy_mag)
