@@ -230,6 +230,9 @@ class RunConfig:
     log_dir: str = "logs"
     data_axis: str = "data"       # mesh axis name for DP
     donate_state: bool = True
+    # train steps fused into one device dispatch (lax.scan); >1 amortizes
+    # host->device launch latency (~6x throughput on network-attached chips)
+    steps_per_dispatch: int = 1
 
 
 @dataclass(frozen=True)

@@ -14,6 +14,14 @@ hop*(FRAME_TILE-1) + n_fft samples. The bases (n_fft x F) stay in VMEM.
 The op is linear; the custom VJP computes the adjoint with the XLA reference
 helpers (basis-transpose matmul + window + overlap-add + reflect-pad fold),
 so training differentiates through the kernel.
+
+STATUS: validated in interpret mode (tests/test_stft_pallas.py) and kept as
+the kernel-language reference implementation. The compiled Mosaic path is
+blocked on hop(32)-granular HBM access vs the 128-lane tiling ("slice shape
+along dim 2 must be aligned to tiling"); meanwhile the XLA path lowers the
+same computation to one MXU matmul at ~0.05 ms per 3x32x8160 batch — already
+at memory speed-of-light — so the default pipeline uses dsp.stft. Revisit if
+hop ever becomes >=128 or Mosaic gains sub-lane DMA.
 """
 
 from __future__ import annotations
@@ -35,23 +43,36 @@ FRAME_TILE = 128  # frames per grid step (MXU tile rows)
 
 
 def _kernel(x_hbm, cosb_ref, sinb_ref, win_ref, re_ref, im_ref,
-            scratch, sem, *, hop: int, n_fft: int, chunk: int):
+            scratch, sem, *, hop: int, n_fft: int):
+    # x_hbm is pre-reshaped to (B, total_rows, hop): a tile's samples are the
+    # rows [t*FT, t*FT + FT + r - 1) — a clean 2D DMA (Mosaic rejects 1D
+    # VMEM staging).
     b = pl.program_id(0)
     t = pl.program_id(1)
-    start = t * (FRAME_TILE * hop)
+    r = n_fft // hop
     dma = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(start, chunk)], scratch, sem)
+        x_hbm.at[b, pl.ds(t * FRAME_TILE, FRAME_TILE + r - 1), :], scratch, sem)
     dma.start()
     dma.wait()
 
-    r = n_fft // hop
-    rows = FRAME_TILE + r - 1
-    v = scratch[: rows * hop].reshape(rows, hop)
-    frames = jnp.concatenate(
-        [v[i:i + FRAME_TILE, :] for i in range(r)], axis=1)  # (FT, n_fft)
-    frames = frames * win_ref[:]
-    re_ref[0] = jnp.dot(frames, cosb_ref[:], preferred_element_type=jnp.float32)
-    im_ref[0] = jnp.dot(frames, sinb_ref[:], preferred_element_type=jnp.float32)
+    # Mosaic cannot lower a 16-way lane-concat of shifted slices, so express
+    # frames @ basis as a sum of r shifted sub-matmuls:
+    #   OUT = sum_i  v[i : i+FT, :] @ (win * basis)[i*hop : (i+1)*hop, :]
+    # The window is folded into the bases host-side (win_ref retained for the
+    # interpret-mode identity check only).
+    del win_ref
+    v = scratch[:]
+    F = cosb_ref.shape[1]
+    acc_re = jnp.zeros((FRAME_TILE, F), jnp.float32)
+    acc_im = jnp.zeros((FRAME_TILE, F), jnp.float32)
+    for i in range(r):
+        piece = v[i:i + FRAME_TILE, :]                      # (FT, hop)
+        acc_re += jnp.dot(piece, cosb_ref[i * hop:(i + 1) * hop, :],
+                          preferred_element_type=jnp.float32)
+        acc_im += jnp.dot(piece, sinb_ref[i * hop:(i + 1) * hop, :],
+                          preferred_element_type=jnp.float32)
+    re_ref[0] = acc_re
+    im_ref[0] = acc_im
 
 
 def _padded_input(x: jnp.ndarray, cfg: STFTConfig) -> Tuple[jnp.ndarray, int, int]:
@@ -80,17 +101,22 @@ def _forward(x: jnp.ndarray, cfg: STFTConfig, interpret: bool) -> CArray:
     B = int(np.prod(batch_shape)) if batch_shape else 1
     xs = x.reshape(B, x.shape[-1])
     xp, n_frames, n_tiles = _padded_input(xs, cfg)
-    chunk = cfg.hop * (FRAME_TILE - 1) + cfg.n_fft
+    r = cfg.n_fft // cfg.hop
+    rows_per_tile = FRAME_TILE + r - 1
+    total_rows = n_tiles * FRAME_TILE + r - 1
+    # free layout change: (B, n) -> (B, rows, hop); tile t reads rows
+    # [t*FT, t*FT + FT + r - 1)
+    xp = xp[:, : total_rows * cfg.hop].reshape(B, total_rows, cfg.hop)
 
     cos_b, sin_b = ref._dft_basis(cfg.n_fft, cfg.drop_dc)
     scale = cfg.n_fft ** -0.5 if cfg.normalized else 1.0
-    cos_b = jnp.asarray(cos_b * scale)
-    sin_b = jnp.asarray(sin_b * scale)
-    window = ref.get_window(cfg)
+    win = ref.window_np(cfg)[:, None]  # fold the window into the bases
+    cos_b = jnp.asarray(cos_b * win * scale, jnp.float32)
+    sin_b = jnp.asarray(sin_b * win * scale, jnp.float32)
+    window = jnp.asarray(ref.window_np(cfg), jnp.float32)[None, :]
     F = cos_b.shape[1]
 
-    kernel = functools.partial(_kernel, hop=cfg.hop, n_fft=cfg.n_fft,
-                               chunk=chunk)
+    kernel = functools.partial(_kernel, hop=cfg.hop, n_fft=cfg.n_fft)
     re, im = pl.pallas_call(
         kernel,
         grid=(B, n_tiles),
@@ -111,8 +137,8 @@ def _forward(x: jnp.ndarray, cfg: STFTConfig, interpret: bool) -> CArray:
             jax.ShapeDtypeStruct((B, n_tiles * FRAME_TILE, F), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((chunk,), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((rows_per_tile, cfg.hop), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
     )(xp, cos_b, sin_b, window)

@@ -87,6 +87,22 @@ def make_dp_train_step(model, cfg: Config, tx, mesh: Mesh):
     )
 
 
+def make_dp_scanned_train_step(model, cfg: Config, tx, mesh: Mesh, k: int):
+    """DP-sharded K-steps-per-dispatch trainer (see steps.make_scanned_train_step).
+    Waves arrive (K, B, crop): sharded on axis 1 (the utterance batch)."""
+    from dcs_net_tpu.train.steps import make_scanned_train_step
+
+    step = make_scanned_train_step(model, cfg, tx, k)
+    repl = replicated(mesh)
+    waves = NamedSharding(mesh, P(None, cfg.run.data_axis))
+    return jax.jit(
+        step,
+        in_shardings=(repl, waves, waves, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if cfg.run.donate_state else (),
+    )
+
+
 def make_dp_eval_step(model, cfg: Config, mesh: Mesh):
     """Eval step follows its inputs' shardings (eval/test batches may be
     ragged — drop_last=False val tails, batch-size-1 test — so the caller

@@ -69,7 +69,15 @@ class Trainer:
                 pesq_fn = None
         self.pesq_fn = pesq_fn
         self._train_step = pmesh.make_dp_train_step(self.model, cfg, self.tx, self.mesh)
+        self._scan_k = max(cfg.run.steps_per_dispatch, 1)
+        self._scanned_step = (
+            pmesh.make_dp_scanned_train_step(self.model, cfg, self.tx,
+                                             self.mesh, self._scan_k)
+            if self._scan_k > 1 else None)
         self._eval_step = pmesh.make_dp_eval_step(self.model, cfg, self.mesh)
+        # ragged train tails (drop_last=False) follow input shardings
+        from dcs_net_tpu.train.steps import make_train_step as _mts
+        self._train_step_flex = jax.jit(_mts(self.model, cfg, self.tx))
         self._make_batch = jax.jit(
             lambda noisy, clean: S.batch_from_waves(noisy, clean, cfg))
         self.state: Optional[S.TrainState] = None
@@ -108,24 +116,52 @@ class Trainer:
             cfg.data.batch_size * cfg.data.crop_samples / cfg.data.sr)
         agg: Dict[str, List[float]] = {}
         rng = jax.random.PRNGKey((cfg.run.seed, epoch).__hash__() & 0x7FFFFFFF)
-        step_in_epoch = 0
-        for host_batch in batches:
-            batch = self._device_batch(host_batch)
-            rng, sub = jax.random.split(rng)
-            self.state, metrics = self._train_step(self.state, batch, sub)
-            meter.tick()
-            step_in_epoch += 1
+
+        def record(metrics, batch=None, ticks=1):
+            for _ in range(ticks):
+                meter.tick()
             gstep = int(self.state.step)
-            if gstep % cfg.run.log_every_n_steps == 0:
+            if gstep % cfg.run.log_every_n_steps < ticks:
                 host_metrics = {k: float(v) for k, v in metrics.items()}
                 self.writer.scalars(host_metrics, gstep, prefix="train/")
                 self.writer.scalar("train/lr", get_lr(self.state.opt_state), gstep)
                 if meter.audio_seconds_per_sec:
                     self.writer.scalar("perf/audio_seconds_per_s",
                                        meter.audio_seconds_per_sec, gstep)
-                log_input_histograms(self.writer, batch, gstep)
+                if batch is not None:
+                    log_input_histograms(self.writer, batch, gstep)
             for k, v in metrics.items():
                 agg.setdefault(k, []).append(float(v))
+
+        pending: List[Dict[str, np.ndarray]] = []
+        for host_batch in batches:
+            if self._scanned_step is not None:
+                pending.append(host_batch)
+                if len(pending) == self._scan_k:
+                    rng, sub = jax.random.split(rng)
+                    noisy = jnp.asarray(np.stack([b["noisy"] for b in pending]))
+                    clean = jnp.asarray(np.stack([b["clean"] for b in pending]))
+                    self.state, metrics = self._scanned_step(
+                        self.state, noisy, clean, sub)
+                    record(metrics, ticks=self._scan_k)
+                    pending = []
+                continue
+            batch = self._device_batch(host_batch)
+            rng, sub = jax.random.split(rng)
+            step_fn = (self._train_step
+                       if host_batch["noisy"].shape[0] % self.mesh.devices.size == 0
+                       else self._train_step_flex)
+            self.state, metrics = step_fn(self.state, batch, sub)
+            record(metrics, batch)
+        # ragged tail of a scanned epoch: single-step dispatches
+        for host_batch in pending:
+            batch = self._device_batch(host_batch)
+            rng, sub = jax.random.split(rng)
+            step_fn = (self._train_step
+                       if host_batch["noisy"].shape[0] % self.mesh.devices.size == 0
+                       else self._train_step_flex)
+            self.state, metrics = step_fn(self.state, batch, sub)
+            record(metrics, batch)
         out = {k: float(np.mean(v)) for k, v in agg.items() if v}
         out["epoch"] = epoch
         if meter.audio_seconds_per_sec:

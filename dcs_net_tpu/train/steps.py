@@ -187,6 +187,34 @@ def make_train_step(model, cfg: Config, tx):
     return train_step
 
 
+def make_scanned_train_step(model, cfg: Config, tx, k: int):
+    """K train steps per device dispatch via lax.scan over stacked raw waves.
+
+    Host->device launch latency (milliseconds over a network-attached chip;
+    nonzero everywhere) dominates this model's ~1.3 ms step, so batching K
+    steps into one dispatch is the single largest throughput lever (bench.py
+    --scan: ~1.8k -> ~12k audio-s/s/chip at K=8). Takes waveforms
+    (K, B, crop) — the STFT front-end runs inside the scan body, so the host
+    ships raw audio once per K steps. Metrics are the last inner step's.
+    """
+    inner = make_train_step(model, cfg, tx)
+
+    def scanned(state: TrainState, noisy_waves: jnp.ndarray,
+                clean_waves: jnp.ndarray, rng: jax.Array):
+        def body(st, inp):
+            noisy_w, clean_w, r = inp
+            b = batch_from_waves(noisy_w, clean_w, cfg)
+            st, metrics = inner(st, b, r)
+            return st, metrics
+
+        rngs = jax.random.split(rng, k)
+        state, metrics = jax.lax.scan(
+            body, state, (noisy_waves, clean_waves, rngs))
+        return state, jax.tree.map(lambda m: m[-1], metrics)
+
+    return scanned
+
+
 def make_eval_step(model, cfg: Config):
     """Validation/test step: eval-mode forward, losses + audio streams
     (metrics like PESQ/STOI run host-side on the returned audio — reference
