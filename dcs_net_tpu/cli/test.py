@@ -29,10 +29,15 @@ def main(argv=None) -> None:
     trainer.state, _ = ckpt.restore(abstract_like(trainer.state))
     print(f"restored step {ckpt.latest_step()} from {cfg.run.ckpt_dir}")
 
+    import os
+
+    csv_path = os.path.join(cfg.run.log_dir + "-test", "per_utterance.csv")
     metrics = trainer.eval_epoch(
         test_loader.epoch(0), 0, phase="test",
-        max_batches=args.limit_batches)
+        max_batches=args.limit_batches,
+        per_utterance_csv=csv_path)
     print("test:", {k: round(v, 4) for k, v in metrics.items()})
+    print(f"per-utterance metrics: {csv_path}")
 
 
 if __name__ == "__main__":

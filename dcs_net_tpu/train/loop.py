@@ -172,11 +172,19 @@ class Trainer:
     def eval_epoch(self, batches: Iterable[Dict[str, np.ndarray]],
                    epoch: int, phase: str = "val",
                    compute_metrics: bool = True,
-                   max_batches: Optional[int] = None) -> Dict[str, float]:
+                   max_batches: Optional[int] = None,
+                   per_utterance_csv: Optional[str] = None) -> Dict[str, float]:
         assert self.state is not None
         cfg = self.cfg
         agg: Dict[str, List[float]] = {}
         last_audio: Dict[str, np.ndarray] = {}
+        csv_f = None
+        if per_utterance_csv:
+            import os
+
+            os.makedirs(os.path.dirname(per_utterance_csv) or ".", exist_ok=True)
+            csv_f = open(per_utterance_csv, "w")
+            csv_f.write("id,start,stoi,pesq,si_sdr\n")
         for i, host_batch in enumerate(batches):
             if max_batches is not None and i >= max_batches:
                 break
@@ -195,7 +203,23 @@ class Trainer:
                 if self.pesq_fn is not None:
                     agg.setdefault("pesq", []).append(
                         calc_metric(clean, pred, cfg.data.sr, self.pesq_fn))
+                if csv_f is not None:
+                    from dcs_net_tpu.metrics.harness import si_sdr
+
+                    for j, utt_id in enumerate(host_batch.get("id", [])):
+                        try:
+                            s = stoi_metric(clean[j], pred[j], cfg.data.sr)
+                        except Exception:
+                            s = float("nan")
+                        pq = (self.pesq_fn(clean[j], pred[j], cfg.data.sr)
+                              if self.pesq_fn else float("nan"))
+                        sd = si_sdr(clean[j], pred[j])
+                        start = int(np.asarray(host_batch["start"])[j])
+                        csv_f.write(
+                            f"{utt_id},{start},{s:.4f},{pq:.4f},{sd:.4f}\n")
             last_audio = {k: np.asarray(v) for k, v in audio.items()}
+        if csv_f is not None:
+            csv_f.close()
         out = {f"{phase}_{k}": float(np.mean(v)) for k, v in agg.items() if v}
         if last_audio:
             # epoch & mask: the sanity pass uses epoch == -1; numpy seeds
