@@ -38,6 +38,9 @@ def main() -> None:
     p.add_argument("--scan", type=int, default=8,
                    help="train steps per device dispatch (lax.scan); "
                         "amortizes host->device launch latency")
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"],
+                   help="matmul/conv operand dtype (f32 accumulate either way)")
     args = p.parse_args()
 
     import jax
@@ -49,9 +52,12 @@ def main() -> None:
     from dcs_net_tpu.train import steps as S
     from dcs_net_tpu.train.optim import make_optimizer
 
+    import dataclasses
+
     cfg = config_for_variant(args.variant)
-    cfg = cfg.replace(data=cfg.data.__class__(
-        crop_samples=args.crop, batch_size=args.batch))
+    cfg = cfg.replace(
+        data=cfg.data.__class__(crop_samples=args.crop, batch_size=args.batch),
+        model=dataclasses.replace(cfg.model, compute_dtype=args.dtype))
 
     devices = jax.devices()
     n_chips = len(devices)

@@ -32,6 +32,8 @@ def main():
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--crop", type=int, default=8160)
     p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"])
     args = p.parse_args()
 
     import jax
@@ -44,9 +46,12 @@ def main():
     from dcs_net_tpu.train import steps as S
     from dcs_net_tpu.train.optim import make_optimizer
 
+    import dataclasses
+
     cfg = config_for_variant("dcs")
-    cfg = cfg.replace(data=cfg.data.__class__(
-        crop_samples=args.crop, batch_size=args.batch))
+    cfg = cfg.replace(
+        data=cfg.data.__class__(crop_samples=args.crop, batch_size=args.batch),
+        model=dataclasses.replace(cfg.model, compute_dtype=args.dtype))
     model = DCSNet(cfg.model, cfg.quirks)
     tx = make_optimizer(cfg.optim)
 

@@ -24,6 +24,9 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--ckpt-dir", default=None)
     p.add_argument("--idiomatic", action="store_true",
                    help="fix reference quirks instead of reproducing them")
+    p.add_argument("--dtype", choices=["float32", "bfloat16"], default=None,
+                   help="matmul/conv operand dtype (bfloat16 = TPU fast path, "
+                        "f32 accumulation; default float32 parity mode)")
     p.add_argument("--config-json", default=None,
                    help="load a serialized Config (overrides other flags)")
 
@@ -33,6 +36,11 @@ def build_config(args) -> Config:
         with open(args.config_json) as f:
             return Config.from_json(f.read())
     cfg = config_for_variant(args.variant, faithful=not args.idiomatic)
+    if getattr(args, "dtype", None):
+        import dataclasses
+
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, compute_dtype=args.dtype))
     data_kw = {}
     if args.synthetic:
         root = os.path.join(args.log_dir or "runs", "synthetic_data")

@@ -13,6 +13,10 @@ def main(argv=None) -> None:
     add_common_args(p)
     p.add_argument("--no-tensorboard", action="store_true")
     p.add_argument("--limit-batches", type=int, default=None)
+    p.add_argument("--composite", action="store_true",
+                   help="also report SegSNR/LLR/WSS + CSIG/CBAK/COVL "
+                        "(the reference's MATLAB semetrics harness, "
+                        "/root/reference/misc.py:296-356, natively)")
     args = p.parse_args(argv)
     cfg = build_config(args)
 
@@ -35,7 +39,8 @@ def main(argv=None) -> None:
     metrics = trainer.eval_epoch(
         test_loader.epoch(0), 0, phase="test",
         max_batches=args.limit_batches,
-        per_utterance_csv=csv_path)
+        per_utterance_csv=csv_path,
+        composite=args.composite)
     print("test:", {k: round(v, 4) for k, v in metrics.items()})
     print(f"per-utterance metrics: {csv_path}")
 

@@ -49,6 +49,10 @@ class DCSNet(nn.Module):
         cx = m.complex_valued
         if cx and not isinstance(x, CArray):
             raise TypeError("complex variant expects a CArray input")
+        # Mixed precision fast path: matmul/conv operands in compute_dtype
+        # (bfloat16 on TPU), f32 accumulation (preferred_element_type) and f32
+        # params/normalization/activations. float32 == exact parity mode.
+        dt = jnp.dtype(m.compute_dtype)
 
         def expand(v):  # (B, F, T) -> (B, F, T, 1)
             return v[..., None]
@@ -72,13 +76,13 @@ class DCSNet(nn.Module):
             _, cout = m.enc_channels(i)
             if cx:
                 e = cl.ComplexConv2d(cout, m.kernel_e[i], stride=m.stride_e[i],
-                                     padding=m.kernel_e[i] // 2,
+                                     padding=m.kernel_e[i] // 2, dtype=dt,
                                      weight_init=m.init, name=f"enc{i}_conv")(e)
                 e = cl.ComplexBatchNorm2d(cout, name=f"enc{i}_bn")(e, train=train)
                 e = cl.complex_relu(e)
             else:
                 e = rl.Conv2d(cout, m.kernel_e[i], stride=m.stride_e[i],
-                              padding=m.kernel_e[i] // 2,
+                              padding=m.kernel_e[i] // 2, dtype=dt,
                               weight_init=m.init, name=f"enc{i}_conv")(e)
                 e = rl.BatchNorm2d(cout, name=f"enc{i}_bn")(e, train=train)
                 e = rl.relu(e)
@@ -91,13 +95,13 @@ class DCSNet(nn.Module):
         # torch.flatten(e, 2, 3).permute(0, 2, 1) on NCHW (r_network.py:149)
         if cx:
             lstm_out, _ = ComplexLSTM(m.lstm_hidden, m.lstm_layers,
-                                      m.lstm_bidir, name="lstm")(seq)
+                                      m.lstm_bidir, dtype=dt, name="lstm")(seq)
             fc_out = cl.ComplexLinear(m.fc_features, weight_init=m.init,
                                       name="fc")(lstm_out)
             fc_out = drop_fc(fc_out, train=train)  # ungated (c_network.py:203)
         else:
             lstm_out, _ = LSTM(m.lstm_hidden, m.lstm_layers, m.lstm_bidir,
-                               name="lstm")(seq)
+                               dtype=dt, name="lstm")(seq)
             fc_out = rl.Linear(m.fc_features, weight_init=m.init, name="fc")(lstm_out)
             if m.dropout:  # gated only in the real net (r_network.py:152)
                 fc_out = drop_fc(fc_out, train=train)
@@ -135,7 +139,7 @@ class DCSNet(nn.Module):
             last = i == m.n_layers - 1
             if cx:
                 d = cl.ComplexConvTranspose2d(
-                    cout, m.kernel_d[i], padding=m.kernel_d[i] // 2,
+                    cout, m.kernel_d[i], padding=m.kernel_d[i] // 2, dtype=dt,
                     weight_init=m.init, name=f"dec{i}_convt")(d)
                 if not last:
                     d = cl.ComplexBatchNorm2d(cout, name=f"dec{i}_bn")(d, train=train)
@@ -148,7 +152,7 @@ class DCSNet(nn.Module):
                         m.sa_kernel, weight_init=m.init, name=f"dec{i}_sa")(d)
             else:
                 d = rl.ConvTranspose2d(
-                    cout, m.kernel_d[i], padding=m.kernel_d[i] // 2,
+                    cout, m.kernel_d[i], padding=m.kernel_d[i] // 2, dtype=dt,
                     weight_init=m.init, name=f"dec{i}_convt")(d)
                 if not last:
                     d = rl.BatchNorm2d(cout, name=f"dec{i}_bn")(d, train=train)

@@ -68,13 +68,14 @@ class ComplexConv2d(nn.Module):
         wi = self.param("kernel_i", w_init, (kh, kw, cin, self.features))
         packed = jnp.concatenate([x.re, x.im], axis=-1).astype(self.dtype)
         p = self.padding
+        # output cast (not preferred_element_type) keeps the VJP single-dtype;
+        # the MXU still accumulates in f32 internally.
         y = jax.lax.conv_general_dilated(
             packed, _block_kernel(wr, wi).astype(self.dtype),
             window_strides=self.stride,
             padding=((p, p), (p, p)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        )
+        ).astype(jnp.float32)
         if self.use_bias:
             b_init = init.torch_bias_uniform(fan_in)
             br = self.param("bias_r", b_init, (self.features,))
@@ -113,8 +114,7 @@ class ComplexConvTranspose2d(nn.Module):
             padding=((kh - 1 - p, kh - 1 - p), (kw - 1 - p, kw - 1 - p)),
             lhs_dilation=self.stride,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        )
+        ).astype(jnp.float32)
         if self.use_bias:
             b_init = init.torch_bias_uniform(fan_in)
             br = self.param("bias_r", b_init, (self.features,))

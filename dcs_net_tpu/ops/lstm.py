@@ -33,13 +33,26 @@ from dcs_net_tpu.utils.carray import CArray
 State = Tuple[jnp.ndarray, jnp.ndarray]  # (h, c) each (num_layers*D, B, H)
 
 
+def _mm(a: jnp.ndarray, b: jnp.ndarray, dt: jnp.dtype) -> jnp.ndarray:
+    """Last-dim matmul with operands cast to dt, result back in f32.
+
+    Output cast (not preferred_element_type) so the VJP stays single-dtype;
+    the MXU accumulates in f32 internally either way."""
+    return jax.lax.dot_general(
+        a.astype(dt), b.astype(dt),
+        dimension_numbers=(((a.ndim - 1,), (0,)), ((), ())),
+    ).astype(jnp.float32)
+
+
 def _lstm_scan(xp: jnp.ndarray, w_hh: jnp.ndarray, h0: jnp.ndarray,
-               c0: jnp.ndarray, reverse: bool) -> Tuple[jnp.ndarray, State]:
+               c0: jnp.ndarray, reverse: bool,
+               dt: jnp.dtype = jnp.float32) -> Tuple[jnp.ndarray, State]:
     """xp: (T, B, 4H) precomputed input projections; returns ((T, B, H), (h, c))."""
+    w_hh = w_hh.astype(dt)
 
     def step(carry, xt):
         h, c = carry
-        gates = xt + h @ w_hh
+        gates = xt + _mm(h, w_hh, dt)
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         i = jax.nn.sigmoid(i)
         f = jax.nn.sigmoid(f)
@@ -59,6 +72,7 @@ class LSTM(nn.Module):
     hidden_size: int
     num_layers: int = 1
     bidirectional: bool = False
+    dtype: jnp.dtype = jnp.float32  # matmul operand dtype (f32 accumulate)
 
     @property
     def num_directions(self) -> int:
@@ -90,11 +104,11 @@ class LSTM(nn.Module):
                 b_ih = self.param(f"b_ih_{sfx}", u, (4 * H,))
                 b_hh = self.param(f"b_hh_{sfx}", u, (4 * H,))
                 # one big MXU matmul for the whole sequence
-                xp = layer_in @ w_ih + (b_ih + b_hh)      # (B, T, 4H)
+                xp = _mm(layer_in, w_ih, self.dtype) + (b_ih + b_hh)  # (B, T, 4H)
                 xp = jnp.swapaxes(xp, 0, 1)               # (T, B, 4H)
                 idx = layer * D + d
                 hs, (h_f, c_f) = _lstm_scan(xp, w_hh, h0[idx], c0[idx],
-                                            reverse=(d == 1))
+                                            reverse=(d == 1), dt=self.dtype)
                 dir_outs.append(jnp.swapaxes(hs, 0, 1))   # (B, T, H)
                 h_out.append(h_f)
                 c_out.append(c_f)
@@ -113,6 +127,7 @@ class ComplexLSTM(nn.Module):
     hidden_size: int
     num_layers: int = 1
     bidirectional: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -122,9 +137,9 @@ class ComplexLSTM(nn.Module):
     ) -> Tuple[CArray, Tuple[State, State]]:
         stacked = jnp.concatenate([x.re, x.im], axis=0)  # (2B, T, F)
         lstm_r = LSTM(self.hidden_size, self.num_layers, self.bidirectional,
-                      name="real_lstm")
+                      dtype=self.dtype, name="real_lstm")
         lstm_i = LSTM(self.hidden_size, self.num_layers, self.bidirectional,
-                      name="imag_lstm")
+                      dtype=self.dtype, name="imag_lstm")
         sr, si = state if state is not None else (None, None)
         out_r, sr2 = lstm_r(stacked, sr)   # [L_r(x_r); L_r(x_i)]
         out_i, si2 = lstm_i(stacked, si)   # [L_i(x_r); L_i(x_i)]

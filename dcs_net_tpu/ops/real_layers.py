@@ -47,13 +47,15 @@ class Conv2d(nn.Module):
             "kernel", init.weight_init(self.weight_init, fan_in, fan_out),
             (kh, kw, cin, self.features))
         p = self.padding
+        # operands in self.dtype; output cast back to f32 (the MXU accumulates
+        # in f32 internally — only the result is rounded). Casting the OUTPUT
+        # rather than preferred_element_type keeps the conv VJP single-dtype.
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), kernel.astype(self.dtype),
             window_strides=self.stride,
             padding=((p, p), (p, p)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        )
+        ).astype(jnp.float32)
         if self.use_bias:
             bias = self.param("bias", init.torch_bias_uniform(fan_in), (self.features,))
             y = y + bias
@@ -94,8 +96,7 @@ class ConvTranspose2d(nn.Module):
             padding=((kh - 1 - p, kh - 1 - p), (kw - 1 - p, kw - 1 - p)),
             lhs_dilation=self.stride,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        )
+        ).astype(jnp.float32)
         if self.use_bias:
             bias = self.param("bias", init.torch_bias_uniform(fan_in), (self.features,))
             y = y + bias

@@ -173,18 +173,26 @@ class Trainer:
                    epoch: int, phase: str = "val",
                    compute_metrics: bool = True,
                    max_batches: Optional[int] = None,
-                   per_utterance_csv: Optional[str] = None) -> Dict[str, float]:
+                   per_utterance_csv: Optional[str] = None,
+                   composite: bool = False) -> Dict[str, float]:
+        """``composite=True`` additionally reports SegSNR/LLR/WSS and the
+        CSIG/CBAK/COVL regressions (the reference's MATLAB semetrics harness,
+        /root/reference/misc.py:296-356) per utterance and in the means."""
         assert self.state is not None
         cfg = self.cfg
         agg: Dict[str, List[float]] = {}
         last_audio: Dict[str, np.ndarray] = {}
         csv_f = None
+        comp_cols = ("segsnr", "llr", "wss", "csig", "cbak", "covl")
         if per_utterance_csv:
             import os
 
             os.makedirs(os.path.dirname(per_utterance_csv) or ".", exist_ok=True)
             csv_f = open(per_utterance_csv, "w")
-            csv_f.write("id,start,stoi,pesq,si_sdr\n")
+            cols = "id,start,stoi,pesq,si_sdr"
+            if composite:
+                cols += "," + ",".join(comp_cols)
+            csv_f.write(cols + "\n")
         for i, host_batch in enumerate(batches):
             if max_batches is not None and i >= max_batches:
                 break
@@ -203,7 +211,7 @@ class Trainer:
                 if self.pesq_fn is not None:
                     agg.setdefault("pesq", []).append(
                         calc_metric(clean, pred, cfg.data.sr, self.pesq_fn))
-                if csv_f is not None:
+                if csv_f is not None or composite:
                     from dcs_net_tpu.metrics.harness import si_sdr
 
                     for j, utt_id in enumerate(host_batch.get("id", [])):
@@ -215,8 +223,20 @@ class Trainer:
                               if self.pesq_fn else float("nan"))
                         sd = si_sdr(clean[j], pred[j])
                         start = int(np.asarray(host_batch["start"])[j])
-                        csv_f.write(
-                            f"{utt_id},{start},{s:.4f},{pq:.4f},{sd:.4f}\n")
+                        row = f"{utt_id},{start},{s:.4f},{pq:.4f},{sd:.4f}"
+                        if composite:
+                            from dcs_net_tpu.metrics.composite import (
+                                composite as comp_fn)
+
+                            c = comp_fn(clean[j], pred[j], cfg.data.sr,
+                                        pesq_mos=pq)
+                            for k in comp_cols:
+                                if np.isfinite(c[k]):
+                                    agg.setdefault(k, []).append(c[k])
+                            row += "," + ",".join(
+                                f"{c[k]:.4f}" for k in comp_cols)
+                        if csv_f is not None:
+                            csv_f.write(row + "\n")
             last_audio = {k: np.asarray(v) for k, v in audio.items()}
         if csv_f is not None:
             csv_f.close()

@@ -99,3 +99,40 @@ def test_batch_independence():
     g = np.asarray(g)
     assert np.any(g[0] != 0)
     assert np.allclose(g[1:], 0), "model mixes data across the batch dimension"
+
+
+@pytest.mark.parametrize("variant", ["dr", "dcs"])
+def test_bfloat16_compute_path(variant):
+    """compute_dtype='bfloat16' (the TPU fast path): same params, finite
+    output, close to the f32 forward (operands bf16, accumulation f32)."""
+    import dataclasses
+
+    cfg, model, x = _make(variant)
+    cfg16 = cfg.replace(model=dataclasses.replace(
+        cfg.model, compute_dtype="bfloat16"))
+    model16 = DCSNet(cfg16.model, cfg16.quirks)
+    variables = jax.jit(
+        lambda: model.init({"params": KEY, "dropout": KEY}, x, train=False))()
+    out32 = jax.jit(lambda v, a: model.apply(v, a, train=False))(variables, x)
+    out16 = jax.jit(lambda v, a: model16.apply(v, a, train=False))(variables, x)
+    if cfg.model.complex_valued:
+        a32, a16 = np.asarray(out32.abs()), np.asarray(out16.abs())
+    else:
+        a32, a16 = np.asarray(out32), np.asarray(out16)
+    assert np.all(np.isfinite(a16))
+    # bf16 has ~3 decimal digits; bounded outputs stay within a loose abs tol
+    assert np.max(np.abs(a32 - a16)) < 0.1
+    # params must remain f32 (mixed precision, not half-precision storage)
+    leaf = jax.tree_util.tree_leaves(variables["params"])[0]
+    assert leaf.dtype == jnp.float32
+
+    # the VJP must be well-typed (bf16 conv transpose rules) and produce
+    # finite f32 grads — this is the training path
+    def loss(params):
+        out = model16.apply({**variables, "params": params}, x, train=False)
+        return jnp.sum(out.abs() if cfg.model.complex_valued else out)
+
+    grads = jax.jit(jax.grad(loss))(variables["params"])
+    for g in jax.tree_util.tree_leaves(grads):
+        assert g.dtype == jnp.float32
+        assert np.all(np.isfinite(np.asarray(g)))
