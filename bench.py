@@ -101,24 +101,35 @@ def main() -> None:
                        out_shardings=(repl, repl), donate_argnums=(0,))
         clean_sharded = jax.device_put(clean, data)
 
+        import numpy as np
+
+        # NOTE: on the network-attached (axon-tunnel) platform,
+        # jax.block_until_ready returns when the remote buffer handle exists,
+        # NOT when the computation finished — timing with it reads ~100x peak
+        # FLOPs. A device-to-host fetch of the loss is the only true fence;
+        # every step chains through `state`, so one end-of-loop fetch times
+        # the whole sequence.
+        def fence(m) -> float:
+            return float(np.asarray(m["loss"]))
+
         t_compile = time.perf_counter()
         for i in range(args.warmup):
             state, metrics = step(state, clean_sharded, jax.random.fold_in(rng, i))
-        jax.block_until_ready(metrics["loss"])
+        fence(metrics)
         compile_s = time.perf_counter() - t_compile
 
         t0 = time.perf_counter()
         for i in range(args.steps):
             state, metrics = step(state, clean_sharded,
                                   jax.random.fold_in(rng, 100 + i))
-        jax.block_until_ready(metrics["loss"])
+        loss_val = fence(metrics)
         dt = time.perf_counter() - t0
 
     steps_per_s = args.steps * K / dt
     audio_seconds_per_step = args.batch * args.crop / 16000.0
     value = steps_per_s * audio_seconds_per_step / n_chips
     print(f"# devices={n_chips} steps/s={steps_per_s:.3f} "
-          f"loss={float(metrics['loss']):.4f} warmup_s={compile_s:.1f}",
+          f"loss={loss_val:.4f} warmup_s={compile_s:.1f}",
           file=sys.stderr)
     sys.stderr.flush()
     print(json.dumps({

@@ -14,16 +14,24 @@ import sys
 import time
 
 
-def timeit(fn, *args, steps=20, warmup=2):
+def _fence(out) -> None:
+    """True completion fence: D2H-fetch one scalar from the output tree.
+    (block_until_ready returns early on the network-attached axon platform.)"""
     import jax
+    import numpy as np
 
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf[(0,) * leaf.ndim]).item()  # one-element fetch, not the tensor
+
+
+def timeit(fn, *args, steps=20, warmup=2):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _fence(out)
     t0 = time.perf_counter()
     for _ in range(steps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _fence(out)
     return (time.perf_counter() - t0) / steps
 
 

@@ -97,12 +97,13 @@ class DCSNet(nn.Module):
             lstm_out, _ = ComplexLSTM(m.lstm_hidden, m.lstm_layers,
                                       m.lstm_bidir, dtype=dt, name="lstm")(seq)
             fc_out = cl.ComplexLinear(m.fc_features, weight_init=m.init,
-                                      name="fc")(lstm_out)
+                                      dtype=dt, name="fc")(lstm_out)
             fc_out = drop_fc(fc_out, train=train)  # ungated (c_network.py:203)
         else:
             lstm_out, _ = LSTM(m.lstm_hidden, m.lstm_layers, m.lstm_bidir,
                                dtype=dt, name="lstm")(seq)
-            fc_out = rl.Linear(m.fc_features, weight_init=m.init, name="fc")(lstm_out)
+            fc_out = rl.Linear(m.fc_features, weight_init=m.init, dtype=dt,
+                               name="fc")(lstm_out)
             if m.dropout:  # gated only in the real net (r_network.py:152)
                 fc_out = drop_fc(fc_out, train=train)
         d = fc_out.reshape(B, Fp, Tp, C)
@@ -115,10 +116,11 @@ class DCSNet(nn.Module):
                 ca = att.ComplexChannelAttention(
                     skip_c, m.ca_reduction,
                     maxpool_is_avg=self.quirks.complex_maxpool_is_avg,
-                    weight_init=m.init, name=f"skip{i}_ca")(skip)
+                    weight_init=m.init, dtype=dt, name=f"skip{i}_ca")(skip)
                 skip = ca * skip
                 sa = att.ComplexSpatialAttention(
-                    m.sa_kernel, weight_init=m.init, name=f"skip{i}_sa")(skip)
+                    m.sa_kernel, weight_init=m.init, dtype=dt,
+                    name=f"skip{i}_sa")(skip)
                 skip = sa * skip
                 d = CArray(jnp.concatenate([d.re, skip.re], axis=-1),
                            jnp.concatenate([d.im, skip.im], axis=-1))
@@ -127,10 +129,11 @@ class DCSNet(nn.Module):
                 ca = att.RealChannelAttention(
                     skip_c, m.ca_reduction,
                     max_only=self.quirks.real_ca_max_only,
-                    weight_init=m.init, name=f"skip{i}_ca")(skip)
+                    weight_init=m.init, dtype=dt, name=f"skip{i}_ca")(skip)
                 skip = ca * skip
                 sa = att.RealSpatialAttention(
-                    m.sa_kernel, weight_init=m.init, name=f"skip{i}_sa")(skip)
+                    m.sa_kernel, weight_init=m.init, dtype=dt,
+                    name=f"skip{i}_sa")(skip)
                 skip = sa * skip
                 d = jnp.concatenate([d, skip], axis=-1)
                 d = rl.upsample_nearest(d, m.upsample[i])
@@ -147,9 +150,10 @@ class DCSNet(nn.Module):
                     d = d * att.ComplexChannelAttention(
                         cout, m.ca_reduction,
                         maxpool_is_avg=self.quirks.complex_maxpool_is_avg,
-                        weight_init=m.init, name=f"dec{i}_ca")(d)
+                        weight_init=m.init, dtype=dt, name=f"dec{i}_ca")(d)
                     d = d * att.ComplexSpatialAttention(
-                        m.sa_kernel, weight_init=m.init, name=f"dec{i}_sa")(d)
+                        m.sa_kernel, weight_init=m.init, dtype=dt,
+                        name=f"dec{i}_sa")(d)
             else:
                 d = rl.ConvTranspose2d(
                     cout, m.kernel_d[i], padding=m.kernel_d[i] // 2, dtype=dt,
@@ -160,14 +164,17 @@ class DCSNet(nn.Module):
                     d = d * att.RealChannelAttention(
                         cout, m.ca_reduction,
                         max_only=self.quirks.real_ca_max_only,
-                        weight_init=m.init, name=f"dec{i}_ca")(d)
+                        weight_init=m.init, dtype=dt, name=f"dec{i}_ca")(d)
                     d = d * att.RealSpatialAttention(
-                        m.sa_kernel, weight_init=m.init, name=f"dec{i}_sa")(d)
+                        m.sa_kernel, weight_init=m.init, dtype=dt,
+                        name=f"dec{i}_sa")(d)
             d = drop_conv(d, train=train)
 
         # -- output bound (r_network.py:172, c_network.py:225) ---------------
+        # always in f32: atan2/tanh of the mask bound are precision-sensitive
         if cx:
-            out = CArray(d.re[..., 0], d.im[..., 0])
+            out = CArray(d.re[..., 0].astype(jnp.float32),
+                         d.im[..., 0].astype(jnp.float32))
             return masks.bound_crm(out, m.atan2_eps)
-        out = d[..., 0]
+        out = d[..., 0].astype(jnp.float32)
         return jnp.reciprocal(1.0 + jnp.exp(-out))

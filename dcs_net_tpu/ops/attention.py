@@ -27,14 +27,16 @@ class RealChannelAttention(nn.Module):
     reduction: int
     max_only: bool = True  # Quirks.real_ca_max_only
     weight_init: str = "xavier_uniform"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         hidden = max(self.channels // self.reduction, 1)
         fc1 = rl.Conv2d(hidden, 1, use_bias=False, weight_init=self.weight_init,
-                        name="fc1")
+                        dtype=self.dtype, name="fc1")
         fc2 = rl.Conv2d(self.channels, 1, use_bias=False,
-                        weight_init=self.weight_init, name="fc2")
+                        weight_init=self.weight_init, dtype=self.dtype,
+                        name="fc2")
 
         def fc(v):
             return fc2(rl.relu(fc1(v)))
@@ -48,6 +50,7 @@ class RealChannelAttention(nn.Module):
 class RealSpatialAttention(nn.Module):
     kernel_size: int = 7
     weight_init: str = "xavier_uniform"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -55,7 +58,8 @@ class RealSpatialAttention(nn.Module):
         max_out = jnp.max(x, axis=-1, keepdims=True)
         cat = jnp.concatenate([avg_out, max_out], axis=-1)
         conv = rl.Conv2d(1, self.kernel_size, padding=self.kernel_size // 2,
-                         use_bias=False, weight_init=self.weight_init, name="conv")
+                         use_bias=False, weight_init=self.weight_init,
+                         dtype=self.dtype, name="conv")
         return jnp.reciprocal(1.0 + jnp.exp(-conv(cat)))
 
 
@@ -64,14 +68,17 @@ class ComplexChannelAttention(nn.Module):
     reduction: int
     maxpool_is_avg: bool = True  # Quirks.complex_maxpool_is_avg
     weight_init: str = "xavier_uniform"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: CArray) -> CArray:
         hidden = max(self.channels // self.reduction, 1)
         fc1 = cl.ComplexConv2d(hidden, 1, use_bias=False,
-                               weight_init=self.weight_init, name="fc1")
+                               weight_init=self.weight_init, dtype=self.dtype,
+                               name="fc1")
         fc2 = cl.ComplexConv2d(self.channels, 1, use_bias=False,
-                               weight_init=self.weight_init, name="fc2")
+                               weight_init=self.weight_init, dtype=self.dtype,
+                               name="fc2")
 
         def fc(v):
             return fc2(cl.complex_relu(fc1(v)))
@@ -85,6 +92,7 @@ class ComplexChannelAttention(nn.Module):
 class ComplexSpatialAttention(nn.Module):
     kernel_size: int = 7
     weight_init: str = "xavier_uniform"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: CArray) -> CArray:
@@ -99,5 +107,5 @@ class ComplexSpatialAttention(nn.Module):
             jnp.concatenate([avg_out.im, max_out.im], axis=-1))
         conv = cl.ComplexConv2d(1, self.kernel_size, padding=self.kernel_size // 2,
                                 use_bias=False, weight_init=self.weight_init,
-                                name="conv")
+                                dtype=self.dtype, name="conv")
         return cl.complex_sigmoid(conv(cat))

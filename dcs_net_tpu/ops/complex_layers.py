@@ -68,19 +68,19 @@ class ComplexConv2d(nn.Module):
         wi = self.param("kernel_i", w_init, (kh, kw, cin, self.features))
         packed = jnp.concatenate([x.re, x.im], axis=-1).astype(self.dtype)
         p = self.padding
-        # output cast (not preferred_element_type) keeps the VJP single-dtype;
-        # the MXU still accumulates in f32 internally.
+        # operands AND output in self.dtype (single-dtype VJP; MXU accumulates
+        # f32 internally; bf16 activations halve the HBM traffic bottleneck)
         y = jax.lax.conv_general_dilated(
             packed, _block_kernel(wr, wi).astype(self.dtype),
             window_strides=self.stride,
             padding=((p, p), (p, p)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ).astype(jnp.float32)
+        )
         if self.use_bias:
             b_init = init.torch_bias_uniform(fan_in)
             br = self.param("bias_r", b_init, (self.features,))
             bi = self.param("bias_i", b_init, (self.features,))
-            y = y + _combined_bias(br, bi)
+            y = y + _combined_bias(br, bi).astype(y.dtype)
         return CArray.unpack_channels(y, axis=-1)
 
 
@@ -114,12 +114,12 @@ class ComplexConvTranspose2d(nn.Module):
             padding=((kh - 1 - p, kh - 1 - p), (kw - 1 - p, kw - 1 - p)),
             lhs_dilation=self.stride,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ).astype(jnp.float32)
+        )
         if self.use_bias:
             b_init = init.torch_bias_uniform(fan_in)
             br = self.param("bias_r", b_init, (self.features,))
             bi = self.param("bias_i", b_init, (self.features,))
-            y = y + _combined_bias(br, bi)
+            y = y + _combined_bias(br, bi).astype(y.dtype)
         return CArray.unpack_channels(y, axis=-1)
 
 
@@ -129,6 +129,7 @@ class ComplexLinear(nn.Module):
     features: int
     use_bias: bool = True
     weight_init: str = "xavier_uniform"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: CArray) -> CArray:
@@ -136,16 +137,16 @@ class ComplexLinear(nn.Module):
         w_init = init.weight_init(self.weight_init, fan_in, fan_out)
         wr = self.param("kernel_r", w_init, (fan_in, self.features))
         wi = self.param("kernel_i", w_init, (fan_in, self.features))
-        packed = jnp.concatenate([x.re, x.im], axis=-1)
+        packed = jnp.concatenate([x.re, x.im], axis=-1).astype(self.dtype)
         block = jnp.concatenate([
             jnp.concatenate([wr, wi], axis=-1),
             jnp.concatenate([-wi, wr], axis=-1)], axis=-2)
-        y = packed @ block
+        y = packed @ block.astype(self.dtype)
         if self.use_bias:
             b_init = init.torch_bias_uniform(fan_in)
             br = self.param("bias_r", b_init, (self.features,))
             bi = self.param("bias_i", b_init, (self.features,))
-            y = y + _combined_bias(br, bi)
+            y = y + _combined_bias(br, bi).astype(y.dtype)
         return CArray.unpack_channels(y, axis=-1)
 
 
@@ -186,6 +187,10 @@ class ComplexBatchNorm2d(nn.Module):
         r_vii = self.variable("batch_stats", "vii", lambda: jnp.full((f,), inv_sqrt2))
         r_vri = self.variable("batch_stats", "vri", lambda: jnp.zeros(f))
 
+        # whitening stats + normalization in f32 (bf16 accumulation over
+        # B*H*W would corrupt the 2x2 covariance); output in the input dtype
+        in_dtype = x.re.dtype
+        x = CArray(x.re.astype(jnp.float32), x.im.astype(jnp.float32))
         axes = tuple(range(x.re.ndim - 1))
         if train:
             mean_r = jnp.mean(x.re, axes)
@@ -224,7 +229,7 @@ class ComplexBatchNorm2d(nn.Module):
         wi = rri * xr + rii * xi
         out_r = grr * wr + gri * wi + beta_r
         out_i = gri * wr + gii * wi + beta_i
-        return CArray(out_r, out_i)
+        return CArray(out_r.astype(in_dtype), out_i.astype(in_dtype))
 
 
 # -- activations / pools / resampling (split re/im semantics) ----------------
@@ -257,10 +262,12 @@ def complex_upsample_nearest(x: CArray, scale: Pair) -> CArray:
 
 def complex_adaptive_avg_pool_1(x: CArray) -> CArray:
     """(B, H, W, C) -> (B, 1, 1, C) complex mean
-    (/root/reference/network_functions.py:114-125)."""
+    (/root/reference/network_functions.py:114-125). f32 accumulation."""
     return CArray(
-        jnp.mean(x.re, axis=(-3, -2), keepdims=True),
-        jnp.mean(x.im, axis=(-3, -2), keepdims=True))
+        jnp.mean(x.re, axis=(-3, -2), keepdims=True,
+                 dtype=jnp.float32).astype(x.re.dtype),
+        jnp.mean(x.im, axis=(-3, -2), keepdims=True,
+                 dtype=jnp.float32).astype(x.im.dtype))
 
 
 def complex_adaptive_max_pool_1(x: CArray, *, faithful_avg: bool) -> CArray:

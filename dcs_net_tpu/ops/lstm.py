@@ -86,11 +86,14 @@ class LSTM(nn.Module):
         B, T, _ = x.shape
         H, D = self.hidden_size, self.num_directions
         u = lstm_uniform(H)
+        # recurrent state is always f32 (gate math runs in f32)
         if state is None:
-            h0 = jnp.zeros((self.num_layers * D, B, H), x.dtype)
+            h0 = jnp.zeros((self.num_layers * D, B, H), jnp.float32)
             c0 = jnp.zeros_like(h0)
         else:
             h0, c0 = state
+            h0 = h0.astype(jnp.float32)
+            c0 = c0.astype(jnp.float32)
 
         layer_in = x
         h_out, c_out = [], []
@@ -113,7 +116,8 @@ class LSTM(nn.Module):
                 h_out.append(h_f)
                 c_out.append(c_f)
             layer_in = jnp.concatenate(dir_outs, axis=-1) if D == 2 else dir_outs[0]
-        return layer_in, (jnp.stack(h_out), jnp.stack(c_out))
+        # gate math runs in f32 (stability); hand back the caller's dtype
+        return layer_in.astype(x.dtype), (jnp.stack(h_out), jnp.stack(c_out))
 
 
 class ComplexLSTM(nn.Module):

@@ -47,18 +47,18 @@ class Conv2d(nn.Module):
             "kernel", init.weight_init(self.weight_init, fan_in, fan_out),
             (kh, kw, cin, self.features))
         p = self.padding
-        # operands in self.dtype; output cast back to f32 (the MXU accumulates
-        # in f32 internally — only the result is rounded). Casting the OUTPUT
-        # rather than preferred_element_type keeps the conv VJP single-dtype.
+        # operands AND output in self.dtype (the MXU accumulates in f32
+        # internally regardless; activations staying bf16 halves HBM traffic,
+        # the actual bottleneck). Single-dtype keeps the conv VJP well-typed.
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), kernel.astype(self.dtype),
             window_strides=self.stride,
             padding=((p, p), (p, p)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ).astype(jnp.float32)
+        )
         if self.use_bias:
             bias = self.param("bias", init.torch_bias_uniform(fan_in), (self.features,))
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y
 
 
@@ -96,10 +96,10 @@ class ConvTranspose2d(nn.Module):
             padding=((kh - 1 - p, kh - 1 - p), (kw - 1 - p, kw - 1 - p)),
             lhs_dilation=self.stride,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ).astype(jnp.float32)
+        )
         if self.use_bias:
             bias = self.param("bias", init.torch_bias_uniform(fan_in), (self.features,))
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y
 
 
@@ -109,6 +109,7 @@ class Linear(nn.Module):
     features: int
     use_bias: bool = True
     weight_init: str = "xavier_uniform"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -116,10 +117,10 @@ class Linear(nn.Module):
         kernel = self.param(
             "kernel", init.weight_init(self.weight_init, fan_in, fan_out),
             (fan_in, self.features))
-        y = x @ kernel
+        y = x.astype(self.dtype) @ kernel.astype(self.dtype)
         if self.use_bias:
             bias = self.param("bias", init.torch_bias_uniform(fan_in), (self.features,))
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y
 
 
@@ -143,10 +144,14 @@ class BatchNorm2d(nn.Module):
                                 lambda: jnp.zeros(self.features))
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones(self.features))
+        # stats and normalization in f32 regardless of activation dtype
+        # (bf16 accumulation over B*H*W elements would be inaccurate);
+        # output returns in the input's dtype.
+        x32 = x.astype(jnp.float32)
         if train:
             axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(x, axes)
-            var = jnp.mean(jnp.square(x - mean), axes)  # biased
+            mean = jnp.mean(x32, axes)
+            var = jnp.mean(jnp.square(x32 - mean), axes)  # biased
             n = x.size // self.features
             unbiased = var * (n / max(n - 1, 1))
             if not self.is_initializing():
@@ -155,8 +160,8 @@ class BatchNorm2d(nn.Module):
                 ra_var.value = (1 - m) * ra_var.value + m * unbiased
         else:
             mean, var = ra_mean.value, ra_var.value
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
-        return y * gamma + beta
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * gamma + beta).astype(x.dtype)
 
 
 def relu(x: jnp.ndarray) -> jnp.ndarray:
@@ -179,8 +184,10 @@ def upsample_nearest(x: jnp.ndarray, scale: Pair) -> jnp.ndarray:
 
 
 def adaptive_avg_pool_1(x: jnp.ndarray) -> jnp.ndarray:
-    """AdaptiveAvgPool2d(1) over NHWC -> (B, 1, 1, C)."""
-    return jnp.mean(x, axis=(-3, -2), keepdims=True)
+    """AdaptiveAvgPool2d(1) over NHWC -> (B, 1, 1, C). f32 accumulation
+    (a bf16 sum over H*W elements loses ~sqrt(HW)*2^-8 relative accuracy)."""
+    return jnp.mean(x, axis=(-3, -2), keepdims=True,
+                    dtype=jnp.float32).astype(x.dtype)
 
 
 def adaptive_max_pool_1(x: jnp.ndarray) -> jnp.ndarray:

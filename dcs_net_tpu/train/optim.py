@@ -74,12 +74,16 @@ def scale_by_torch_adam(b1: float, b2: float, eps: float,
 def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
     @optax.inject_hyperparams
     def tx(lr):
-        return optax.chain(
+        # optax.flatten: the whole chain runs on ONE raveled parameter vector.
+        # Per-leaf optimizer math (~10 elementwise ops x ~350 params) otherwise
+        # compiles to thousands of microsecond-scale TPU kernels per step —
+        # pure launch overhead. Flat, it is a handful of full-width kernels.
+        return optax.flatten(optax.chain(
             optax.clip_by_global_norm(cfg.clip_norm),
             optax.add_decayed_weights(cfg.weight_decay),
             scale_by_torch_adam(cfg.beta1, cfg.beta2, cfg.eps, cfg.amsgrad),
             optax.scale(-lr),
-        )
+        ))
 
     return tx(lr=jnp.asarray(cfg.lr, jnp.float32))
 

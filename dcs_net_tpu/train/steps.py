@@ -175,13 +175,17 @@ def make_train_step(model, cfg: Config, tx):
             step=state.step + 1, params=new_params,
             batch_stats=new_stats, opt_state=new_opt_state)
 
+        gnorm = global_grad_norm(grads)
         if cfg.optim.nan_skip:
-            bad = ~jnp.isfinite(loss)
+            # gate on loss AND gradient finiteness: a NaN grad under a finite
+            # loss would poison the params while the loss-only gate (the
+            # reference's, r_network.py:203-207) keeps "skipping" forever
+            bad = ~jnp.isfinite(loss) | ~jnp.isfinite(gnorm)
             new_state = jax.tree.map(
                 lambda old, new: jnp.where(bad, old, new), state, new_state)
             losses = dict(losses, skipped=bad.astype(jnp.float32))
 
-        losses = dict(losses, grad_norm=global_grad_norm(grads))
+        losses = dict(losses, grad_norm=gnorm)
         return new_state, losses
 
     return train_step
