@@ -128,8 +128,28 @@ def main() -> None:
     steps_per_s = args.steps * K / dt
     audio_seconds_per_step = args.batch * args.crop / 16000.0
     value = steps_per_s * audio_seconds_per_step / n_chips
+
+    # honest accounting (VERDICT r1 #1): FLOPs/step from XLA cost analysis,
+    # model FLOP/s and MFU against the v5e bf16 peak. The wall time above is
+    # bracketed by a device-to-host scalar fetch (the only true fence on the
+    # network-attached platform); every step chains through `state`, so the
+    # final fetch fences the whole timed sequence.
+    flops_per_step = float("nan")
+    try:
+        single = jax.jit(inner).lower(
+            state, batch, jax.random.PRNGKey(2)).compile()
+        ca = single.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops_per_step = float(ca.get("flops", float("nan")))
+    except Exception as e:  # cost analysis unsupported on some backends
+        print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
+    V5E_BF16_PEAK = 197e12  # TPU v5e peak bf16 FLOP/s per chip
+    model_flops = steps_per_s * flops_per_step / n_chips
+    mfu = model_flops / V5E_BF16_PEAK
     print(f"# devices={n_chips} steps/s={steps_per_s:.3f} "
-          f"loss={loss_val:.4f} warmup_s={compile_s:.1f}",
+          f"loss={loss_val:.4f} warmup_s={compile_s:.1f} "
+          f"flops/step={flops_per_step/1e9:.1f}G "
+          f"tflops/s/chip={model_flops/1e12:.2f} mfu={mfu*100:.1f}%",
           file=sys.stderr)
     sys.stderr.flush()
     print(json.dumps({
@@ -137,6 +157,10 @@ def main() -> None:
         "value": round(value, 3),
         "unit": "audio-s/s/chip",
         "vs_baseline": round(value, 3),  # anchor: 1x realtime
+        "steps_per_s": round(steps_per_s, 3),
+        "flops_per_step": flops_per_step,
+        "tflops_per_s_per_chip": round(model_flops / 1e12, 3),
+        "mfu_vs_v5e_bf16_peak": round(mfu, 4),
     }))
     sys.stdout.flush()
     # the axon tunnel can hang interpreter teardown; the result is out, exit

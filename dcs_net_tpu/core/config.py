@@ -233,6 +233,9 @@ class RunConfig:
     # train steps fused into one device dispatch (lax.scan); >1 amortizes
     # host->device launch latency (~6x throughput on network-attached chips)
     steps_per_dispatch: int = 1
+    # eval: compute STOI/PESQ per utterance (same values feed the epoch means
+    # and any CSV — each metric runs once per utterance either way)
+    per_utterance_eval_metrics: bool = False
 
 
 @dataclass(frozen=True)

@@ -22,10 +22,17 @@ import numpy as np
 class Writer:
     """Scalar/audio/histogram writer with a JSONL fallback."""
 
-    def __init__(self, log_dir: str, use_tensorboard: bool = True):
-        os.makedirs(log_dir, exist_ok=True)
+    def __init__(self, log_dir: str, use_tensorboard: bool = True,
+                 enabled: bool = True):
+        """``enabled=False`` turns every method into a no-op — multi-host
+        training logs from process 0 only (SURVEY.md §5 host-0 logging)."""
+        self.enabled = enabled
         self.log_dir = log_dir
         self._tb = None
+        self._jsonl = None
+        if not enabled:
+            return
+        os.makedirs(log_dir, exist_ok=True)
         if use_tensorboard:
             try:
                 from tensorboardX import SummaryWriter
@@ -36,6 +43,8 @@ class Writer:
         self._jsonl = open(os.path.join(log_dir, "events.jsonl"), "a")
 
     def scalar(self, tag: str, value: float, step: int) -> None:
+        if not self.enabled:
+            return
         value = float(value)
         if self._tb is not None:
             self._tb.add_scalar(tag, value, step)
@@ -48,6 +57,8 @@ class Writer:
             self.scalar(prefix + k, v, step)
 
     def audio(self, tag: str, wave: np.ndarray, step: int, sr: int) -> None:
+        if not self.enabled:
+            return
         w = np.asarray(wave, np.float32).reshape(-1)
         peak = np.abs(w).max()
         if peak > 1.0:
@@ -66,19 +77,23 @@ class Writer:
         write_wav(os.path.join(out_dir, f"{safe}_step{step}.wav"), w, sr)
 
     def histogram(self, tag: str, values: np.ndarray, step: int) -> None:
+        if not self.enabled:
+            return
         if self._tb is not None:
             self._tb.add_histogram(tag, np.asarray(values).ravel(), step)
 
     def flush(self) -> None:
         if self._tb is not None:
             self._tb.flush()
-        self._jsonl.flush()
+        if self._jsonl is not None:
+            self._jsonl.flush()
 
     def close(self) -> None:
         self.flush()
         if self._tb is not None:
             self._tb.close()
-        self._jsonl.close()
+        if self._jsonl is not None:
+            self._jsonl.close()
 
 
 class ThroughputMeter:

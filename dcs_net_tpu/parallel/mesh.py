@@ -120,12 +120,43 @@ def host_local_batch_size(global_batch: int) -> int:
     return global_batch // n
 
 
-def form_global_batch(local_arrays: Any, mesh: Mesh, axis_name: str = "data") -> Any:
+def form_global_batch(local_arrays: Any, mesh: Mesh, axis_name: str = "data",
+                      batch_axis: int = 0) -> Any:
     """Multi-host: assemble a globally-sharded array from per-host local data
-    (jax.make_array_from_process_local_data)."""
-    sh = batch_sharding(mesh, axis_name)
+    (jax.make_array_from_process_local_data). ``batch_axis`` selects which
+    array axis carries the utterance batch (axis 1 for the (K, B, crop) wave
+    stacks of the scanned train step)."""
 
     def make(x):
-        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+        x = np.asarray(x)
+        spec = [None] * x.ndim
+        spec[batch_axis] = axis_name
+        sh = NamedSharding(mesh, P(*spec))
+        return jax.make_array_from_process_local_data(sh, x)
 
     return jax.tree.map(make, local_arrays)
+
+
+def allreduce_host_metric_sums(sums_counts: "dict[str, tuple[float, float]]"
+                               ) -> "dict[str, float]":
+    """Cross-host mean of per-host (sum, count) metric accumulators.
+
+    SURVEY.md §5: PESQ/STOI eval is sharded per-host then all-gathered. Each
+    host evaluates its utterance shard locally (metric loops are host-side C++
+    /numpy); this reduces the accumulators over all processes and returns the
+    global means. Key sets must match across hosts (they are static given the
+    config; NaN-dropping removes *values*, never keys — a key with global
+    count 0 yields NaN, same as the reference's empty-batch mean).
+    Single-process: plain local mean.
+    """
+    keys = sorted(sums_counts)
+    local = np.array([[sums_counts[k][0] for k in keys],
+                      [sums_counts[k][1] for k in keys]], dtype=np.float64)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        gathered = np.asarray(multihost_utils.process_allgather(local))
+        local = gathered.sum(axis=0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        means = local[0] / local[1]
+    return {k: float(m) for k, m in zip(keys, means)}

@@ -48,9 +48,22 @@ class Trainer:
         self.cfg = cfg
         self.model = DCSNet(cfg.model, cfg.quirks)
         self.tx = make_optimizer(cfg.optim)
-        self.mesh = pmesh.make_mesh(
-            pmesh.dp_devices(cfg.data.batch_size), axis_name=cfg.run.data_axis)
-        self.writer = Writer(log_dir or cfg.run.log_dir, use_tensorboard)
+        self.n_proc = jax.process_count()
+        if self.n_proc > 1:
+            # multi-host DP: the mesh spans ALL processes' devices; every
+            # host contributes its shard of the global batch
+            # (form_global_batch) and the SPMD all-reduce rides ICI/DCN.
+            self.mesh = pmesh.make_mesh(jax.devices(),
+                                        axis_name=cfg.run.data_axis)
+            assert cfg.data.batch_size % self.n_proc == 0, (
+                f"global batch {cfg.data.batch_size} must divide over "
+                f"{self.n_proc} hosts")
+        else:
+            self.mesh = pmesh.make_mesh(
+                pmesh.dp_devices(cfg.data.batch_size),
+                axis_name=cfg.run.data_axis)
+        self.writer = Writer(log_dir or cfg.run.log_dir, use_tensorboard,
+                             enabled=jax.process_index() == 0)
         self.plateau = ReduceLROnPlateau(
             factor=cfg.optim.plateau_factor, patience=cfg.optim.plateau_patience,
             threshold=cfg.optim.plateau_threshold, min_lr=cfg.optim.plateau_min_lr)
@@ -95,6 +108,14 @@ class Trainer:
         self.state = jax.device_put(self.state, pmesh.replicated(self.mesh))
 
     def _device_batch(self, host_batch: Dict[str, np.ndarray]) -> S.Batch:
+        if self.n_proc > 1:
+            # each host ships its LOCAL batch shard; the global sharded wave
+            # arrays are assembled across processes, then the on-device STFT
+            # runs SPMD over the whole mesh.
+            waves = pmesh.form_global_batch(
+                {"noisy": host_batch["noisy"], "clean": host_batch["clean"]},
+                self.mesh, self.cfg.run.data_axis)
+            return self._make_batch(waves["noisy"], waves["clean"])
         noisy = jnp.asarray(host_batch["noisy"])
         clean = jnp.asarray(host_batch["clean"])
         batch = self._make_batch(noisy, clean)
@@ -106,6 +127,26 @@ class Trainer:
             return pmesh.shard_batch(batch, self.mesh, self.cfg.run.data_axis)
         return jax.tree.map(
             lambda x: jax.device_put(x, pmesh.replicated(self.mesh)), batch)
+
+    def _global_n(self, local_n: int) -> int:
+        """Global utterance count of a batch whose local shard has local_n."""
+        return local_n * self.n_proc
+
+    def _dispatch_train(self, host_batch: Dict[str, np.ndarray], sub):
+        """One train-step dispatch; picks the mesh-sharded step for full
+        batches and the sharding-flexible one for ragged tails (single-host
+        only — multi-host loaders drop ragged tails via shard_ids)."""
+        batch = self._device_batch(host_batch)
+        n = self._global_n(host_batch["noisy"].shape[0])
+        if n % self.mesh.devices.size == 0:
+            step_fn = self._train_step
+        else:
+            assert self.n_proc == 1, (
+                "ragged train batches are unsupported in multi-host mode; "
+                "use drop_last loaders (data.shard_ids already drops tails)")
+            step_fn = self._train_step_flex
+        self.state, metrics = step_fn(self.state, batch, sub)
+        return metrics, batch
 
     # -- epochs -------------------------------------------------------------
     def train_epoch(self, batches: Iterable[Dict[str, np.ndarray]],
@@ -139,28 +180,27 @@ class Trainer:
                 pending.append(host_batch)
                 if len(pending) == self._scan_k:
                     rng, sub = jax.random.split(rng)
-                    noisy = jnp.asarray(np.stack([b["noisy"] for b in pending]))
-                    clean = jnp.asarray(np.stack([b["clean"] for b in pending]))
+                    noisy = np.stack([b["noisy"] for b in pending])
+                    clean = np.stack([b["clean"] for b in pending])
+                    if self.n_proc > 1:
+                        waves = pmesh.form_global_batch(
+                            {"noisy": noisy, "clean": clean}, self.mesh,
+                            cfg.run.data_axis, batch_axis=1)
+                        noisy, clean = waves["noisy"], waves["clean"]
+                    else:
+                        noisy, clean = jnp.asarray(noisy), jnp.asarray(clean)
                     self.state, metrics = self._scanned_step(
                         self.state, noisy, clean, sub)
                     record(metrics, ticks=self._scan_k)
                     pending = []
                 continue
-            batch = self._device_batch(host_batch)
             rng, sub = jax.random.split(rng)
-            step_fn = (self._train_step
-                       if host_batch["noisy"].shape[0] % self.mesh.devices.size == 0
-                       else self._train_step_flex)
-            self.state, metrics = step_fn(self.state, batch, sub)
+            metrics, batch = self._dispatch_train(host_batch, sub)
             record(metrics, batch)
         # ragged tail of a scanned epoch: single-step dispatches
         for host_batch in pending:
-            batch = self._device_batch(host_batch)
             rng, sub = jax.random.split(rng)
-            step_fn = (self._train_step
-                       if host_batch["noisy"].shape[0] % self.mesh.devices.size == 0
-                       else self._train_step_flex)
-            self.state, metrics = step_fn(self.state, batch, sub)
+            metrics, batch = self._dispatch_train(host_batch, sub)
             record(metrics, batch)
         out = {k: float(np.mean(v)) for k, v in agg.items() if v}
         out["epoch"] = epoch
@@ -181,9 +221,16 @@ class Trainer:
         assert self.state is not None
         cfg = self.cfg
         agg: Dict[str, List[float]] = {}
-        last_audio: Dict[str, np.ndarray] = {}
+        sampled_audio: Dict[str, np.ndarray] = {}
         csv_f = None
         comp_cols = ("segsnr", "llr", "wss", "csig", "cbak", "covl")
+        # reference-C16 parity: a RANDOM batch over the whole epoch gets its
+        # audio logged (/root/reference/network_functions.py:450-476), not the
+        # last one — reservoir sampling keeps one uniformly without knowing
+        # the epoch length. epoch & mask: the sanity pass uses epoch == -1;
+        # numpy seeds must be non-negative.
+        rng = np.random.default_rng((cfg.run.seed, epoch & 0x7FFFFFFF))
+        n_seen = 0
         if per_utterance_csv:
             import os
 
@@ -193,11 +240,24 @@ class Trainer:
             if composite:
                 cols += "," + ",".join(comp_cols)
             csv_f.write(cols + "\n")
+        # multi-host: each host evaluates its utterance shard on ITS devices
+        # (metric loops are host-side); a local replica of the global state
+        # keeps the local jit free of cross-host device assignments. The
+        # per-host accumulators are all-reduced at the end (SURVEY.md §5).
+        state = self.state
+        if self.n_proc > 1:
+            state = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), state)
+        per_utt = cfg.run.per_utterance_eval_metrics or composite \
+            or csv_f is not None
         for i, host_batch in enumerate(batches):
             if max_batches is not None and i >= max_batches:
                 break
-            batch = self._device_batch(host_batch)
-            losses, audio = self._eval_step(self.state, batch)
+            if self.n_proc > 1:
+                batch = self._make_batch(jnp.asarray(host_batch["noisy"]),
+                                         jnp.asarray(host_batch["clean"]))
+            else:
+                batch = self._device_batch(host_batch)
+            losses, audio = self._eval_step(state, batch)
             if not np.isfinite(float(losses["loss"])):
                 print(f"found a NaN in {phase} loss! (batch {i}, skipped)")
                 continue
@@ -206,24 +266,35 @@ class Trainer:
             if compute_metrics:
                 clean = np.asarray(audio["clean"])
                 pred = np.asarray(audio["predict_clean"])
-                agg.setdefault("stoi", []).append(
-                    calc_metric(clean, pred, cfg.data.sr, stoi_metric))
-                if self.pesq_fn is not None:
-                    agg.setdefault("pesq", []).append(
-                        calc_metric(clean, pred, cfg.data.sr, self.pesq_fn))
-                if csv_f is not None or composite:
+                if not per_utt:
+                    # batch-mean path (reference calc_metric semantics)
+                    agg.setdefault("stoi", []).append(
+                        calc_metric(clean, pred, cfg.data.sr, stoi_metric))
+                    if self.pesq_fn is not None:
+                        agg.setdefault("pesq", []).append(
+                            calc_metric(clean, pred, cfg.data.sr, self.pesq_fn))
+                else:
+                    # per-utterance path: compute each metric ONCE per
+                    # utterance; batch means (NaN-dropped, like calc_metric)
+                    # and the CSV rows both come from the same values.
                     from dcs_net_tpu.metrics.harness import si_sdr
 
-                    for j, utt_id in enumerate(host_batch.get("id", [])):
+                    ids = host_batch.get(
+                        "id", [str(j) for j in range(clean.shape[0])])
+                    starts = np.asarray(host_batch.get(
+                        "start", np.zeros(clean.shape[0], np.int64)))
+                    b_stoi, b_pesq = [], []
+                    for j, utt_id in enumerate(ids):
                         try:
                             s = stoi_metric(clean[j], pred[j], cfg.data.sr)
                         except Exception:
                             s = float("nan")
                         pq = (self.pesq_fn(clean[j], pred[j], cfg.data.sr)
                               if self.pesq_fn else float("nan"))
-                        sd = si_sdr(clean[j], pred[j])
-                        start = int(np.asarray(host_batch["start"])[j])
-                        row = f"{utt_id},{start},{s:.4f},{pq:.4f},{sd:.4f}"
+                        b_stoi.append(s)
+                        b_pesq.append(pq)
+                        row = (f"{utt_id},{int(starts[j])},{s:.4f},{pq:.4f},"
+                               f"{si_sdr(clean[j], pred[j]):.4f}")
                         if composite:
                             from dcs_net_tpu.metrics.composite import (
                                 composite as comp_fn)
@@ -237,15 +308,27 @@ class Trainer:
                                 f"{c[k]:.4f}" for k in comp_cols)
                         if csv_f is not None:
                             csv_f.write(row + "\n")
-            last_audio = {k: np.asarray(v) for k, v in audio.items()}
+                    def _nan_drop_mean(vals):  # == calc_metric semantics
+                        a = np.asarray(vals, np.float64)
+                        ok = np.isfinite(a)
+                        return float(a[ok].sum() / max(ok.sum(), 1))
+
+                    agg.setdefault("stoi", []).append(_nan_drop_mean(b_stoi))
+                    if self.pesq_fn is not None:
+                        agg.setdefault("pesq", []).append(
+                            _nan_drop_mean(b_pesq))
+            n_seen += 1
+            if rng.integers(n_seen) == 0:  # reservoir: keep with prob 1/n
+                sampled_audio = {k: np.asarray(v) for k, v in audio.items()}
         if csv_f is not None:
             csv_f.close()
-        out = {f"{phase}_{k}": float(np.mean(v)) for k, v in agg.items() if v}
-        if last_audio:
-            # epoch & mask: the sanity pass uses epoch == -1; numpy seeds
-            # must be non-negative.
-            rng = np.random.default_rng((cfg.run.seed, epoch & 0x7FFFFFFF))
-            log_epoch_audio(self.writer, last_audio, int(self.state.step),
+        sums = {k: (float(np.sum(v)), float(len(v)))
+                for k, v in agg.items() if v}
+        means = pmesh.allreduce_host_metric_sums(sums) if self.n_proc > 1 \
+            else {k: s / c for k, (s, c) in sums.items()}
+        out = {f"{phase}_{k}": v for k, v in means.items()}
+        if sampled_audio:
+            log_epoch_audio(self.writer, sampled_audio, int(self.state.step),
                             cfg.data.sr, phase, rng,
                             cfg.run.val_log_sample_size)
         self.writer.scalars(out, int(self.state.step))
@@ -261,21 +344,77 @@ class Trainer:
             "speech_loss", val_metrics.get("val_speech_loss", float("inf")))
 
     def end_of_epoch(self, epoch: int, val_metrics: Dict[str, float]) -> None:
-        lr = get_lr(self.state.opt_state)
-        new_lr = self.plateau.step(self.monitored_metric(val_metrics), lr)
-        if new_lr != lr:
-            self.state = self.state.replace(
-                opt_state=set_lr(self.state.opt_state, new_lr))
-            print(f"epoch {epoch}: reducing lr {lr:.3e} -> {new_lr:.3e}")
+        in_swa = self.swa is not None and epoch >= self.swa.start_epoch
+        if not in_swa:
+            lr = get_lr(self.state.opt_state)
+            new_lr = self.plateau.step(self.monitored_metric(val_metrics), lr)
+            if new_lr != lr:
+                self.state = self.state.replace(
+                    opt_state=set_lr(self.state.opt_state, new_lr))
+                print(f"epoch {epoch}: reducing lr {lr:.3e} -> {new_lr:.3e}")
+        # else: Lightning SWA swaps ReduceLROnPlateau for SWALR at swa start;
+        # with swa_lrs=None (the reference's stochastic_weight_avg=True,
+        # /root/reference/train.py:147) SWALR anneals to the lr captured at
+        # swa start — i.e. the lr is held constant and plateau stops acting.
         if self.swa is not None:
             self.swa.update(epoch, self.state.params)
         self.epoch = epoch + 1
 
-    def finalize_swa(self) -> None:
+    def finalize_swa(self, train_batches: Optional[Iterable[
+            Dict[str, np.ndarray]]] = None, max_batches: Optional[int] = None
+            ) -> None:
         """Swap in the SWA-averaged parameters (Lightning transfers the
-        average at the end of fit)."""
+        average at the end of fit) and, when train data is supplied, refresh
+        the BN running statistics for them (torch.optim.swa_utils.update_bn
+        semantics: reset + cumulative average of per-batch stats)."""
         if self.swa is not None and self.swa.active:
             self.state = self.state.replace(params=self.swa.avg_params)
+            if train_batches is not None:
+                self.recompute_batch_stats(train_batches, max_batches)
+
+    def recompute_batch_stats(self, batches: Iterable[Dict[str, np.ndarray]],
+                              max_batches: Optional[int] = None) -> None:
+        """BN-statistics refresh pass: forward passes over train data in train
+        mode (params frozen), running stats replaced by the CUMULATIVE average
+        of the per-batch statistics — torch update_bn / Lightning-SWA
+        semantics (momentum=None), which the reference gets from
+        stochastic_weight_avg=True (/root/reference/train.py:147).
+
+        Our BN modules update running stats with fixed momentum m=0.1; the
+        batch statistic is recovered exactly from one application as
+        (new - (1-m)*old) / m, then averaged on the host side.
+        """
+        assert self.state is not None
+        cfg = self.cfg
+        m = 0.1  # BatchNorm2d / ComplexBatchNorm2d default momentum
+
+        @jax.jit
+        def batch_stat_of(params, stats, batch, r):
+            x = batch.noisy if cfg.model.complex_valued else batch.noisy.abs()
+            _, mut = self.model.apply(
+                {"params": params, "batch_stats": stats}, x, train=True,
+                rngs={"dropout": r}, mutable=["batch_stats"])
+            return jax.tree.map(lambda new, old: (new - (1 - m) * old) / m,
+                                mut["batch_stats"], stats)
+
+        @jax.jit
+        def lerp(avg, bs, n):
+            return jax.tree.map(lambda a, b: a + (b - a) / n, avg, bs)
+
+        rng = jax.random.PRNGKey(cfg.run.seed ^ 0x5A5A5A)
+        avg = None
+        n = 0
+        for i, host_batch in enumerate(batches):
+            if max_batches is not None and i >= max_batches:
+                break
+            batch = self._device_batch(host_batch)
+            rng, sub = jax.random.split(rng)
+            bs = batch_stat_of(self.state.params, self.state.batch_stats,
+                               batch, sub)
+            n += 1
+            avg = bs if avg is None else lerp(avg, bs, jnp.float32(n))
+        if avg is not None:
+            self.state = self.state.replace(batch_stats=avg)
 
     # -- fit ----------------------------------------------------------------
     def fit(self, train_loader, val_loader,
@@ -312,7 +451,7 @@ class Trainer:
             if callbacks and callbacks.on_validation_end:
                 if callbacks.on_validation_end(epoch, val_metrics):
                     break
-        self.finalize_swa()
+        self.finalize_swa(train_loader.epoch(self.epoch))
         return val_metrics
 
     def test(self, test_loader) -> Dict[str, float]:

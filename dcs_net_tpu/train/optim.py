@@ -11,10 +11,11 @@ rescale it without rebuilding opt state.
 ReduceLROnPlateau reproduces torch defaults: mode='min', factor=0.1,
 patience=10, threshold=1e-4 (rel) (/root/reference/r_network.py:182).
 
-SWA approximates Lightning's StochasticWeightAveraging(swa_epoch_start=0.8):
-equal-weight parameter averaging from the start epoch on; the BN-statistics
-refresh pass Lightning appends is exposed separately
-(train/loop.py recompute_batch_stats).
+SWA mirrors Lightning's StochasticWeightAveraging(swa_epoch_start=0.8):
+equal-weight parameter averaging from the start epoch on. The BN-statistics
+refresh pass Lightning appends runs in Trainer.recompute_batch_stats
+(train/loop.py), invoked by finalize_swa; SWALR's hold-lr-constant behavior
+lives in Trainer.end_of_epoch.
 """
 
 from __future__ import annotations

@@ -84,7 +84,7 @@ def test_plateau_and_swa_wiring(data_root, tmp_path):
     cfg = _cfg("dr", data_root, str(tmp_path / "logs2"))
     cfg = cfg.replace(
         optim=cfg.optim.__class__(plateau_patience=0, swa=True,
-                                  swa_start_frac=0.0),
+                                  swa_start_frac=1.0),  # swa from epoch 1 on
         run=cfg.run.__class__(max_epochs=1, num_sanity_val_steps=0,
                               log_dir=cfg.run.log_dir))
     train_loader, val_loader = _loaders(cfg)
@@ -94,14 +94,72 @@ def test_plateau_and_swa_wiring(data_root, tmp_path):
     tm = trainer.train_epoch(train_loader.epoch(0), 0)
     vm = trainer.eval_epoch(val_loader.epoch(0), 0, compute_metrics=False)
     trainer.end_of_epoch(0, vm)
-    # patience=0: first epoch sets best; feed a worse metric to trigger cut
+    # patience=0: first epoch sets best; feed a worse metric to trigger a cut
+    # (epoch 0 is pre-SWA, so the plateau scheduler still acts)
+    trainer.plateau.best = -1e9
+    trainer.epoch = 0
+    trainer.end_of_epoch(0, vm)
+    lr_cut = get_lr(trainer.state.opt_state)
+    assert lr_cut < lr0
+    # epoch 1 enters SWA: Lightning swaps plateau for SWALR, which (with
+    # swa_lrs=None) holds the lr constant — a worse metric must NOT cut it
     trainer.plateau.best = -1e9
     trainer.end_of_epoch(1, vm)
-    assert get_lr(trainer.state.opt_state) < lr0
+    assert get_lr(trainer.state.opt_state) == lr_cut
     assert trainer.swa is not None and trainer.swa.n_averaged >= 1
-    params_before = jax.tree.leaves(trainer.state.params)[0]
     trainer.finalize_swa()
     assert trainer.state.params is trainer.swa.avg_params
+
+
+def test_swa_bn_refresh(data_root, tmp_path):
+    """finalize_swa with train data refreshes BN running stats: the averaged
+    params carry cumulative-average batch statistics (torch update_bn
+    semantics), not the stale pre-SWA running stats."""
+    from dcs_net_tpu.train.loop import Trainer
+
+    cfg = _cfg("dr", data_root, str(tmp_path / "logs3"))
+    cfg = cfg.replace(
+        optim=cfg.optim.__class__(swa=True, swa_start_frac=0.0),
+        run=cfg.run.__class__(max_epochs=1, num_sanity_val_steps=0,
+                              log_dir=cfg.run.log_dir))
+    train_loader, _ = _loaders(cfg)
+    trainer = Trainer(cfg, use_tensorboard=False)
+    trainer.init_state()
+    trainer.train_epoch(train_loader.epoch(0), 0)
+    trainer.end_of_epoch(0, {})
+    stale = jax.tree.map(np.asarray, trainer.state.batch_stats)
+    trainer.finalize_swa(train_loader.epoch(1), max_batches=2)
+
+    # stats changed...
+    changed = jax.tree.map(
+        lambda a, b: float(np.abs(a - b).max()), stale,
+        jax.tree.map(np.asarray, trainer.state.batch_stats))
+    assert max(jax.tree.leaves(changed)) > 0.0
+    # ...and equal the plain mean of the recovered per-batch statistics
+    # (cumulative average == mean), recomputed here independently
+    from dcs_net_tpu.train import steps as S
+
+    m = 0.1
+    stats0 = stale  # the refresh recovered batch stats against the PRE-refresh
+    # running stats (they are constant inputs, not threaded)
+    batch_stats = []
+    rng = jax.random.PRNGKey(cfg.run.seed ^ 0x5A5A5A)
+    for i, hb in enumerate(train_loader.epoch(1)):
+        if i >= 2:
+            break
+        batch = trainer._device_batch(hb)
+        x = batch.noisy if cfg.model.complex_valued else batch.noisy.abs()
+        rng, sub = jax.random.split(rng)
+        _, mut = trainer.model.apply(
+            {"params": trainer.state.params, "batch_stats": stats0},
+            x, train=True, rngs={"dropout": sub}, mutable=["batch_stats"])
+        batch_stats.append(jax.tree.map(
+            lambda new, old: (np.asarray(new) - (1 - m) * np.asarray(old)) / m,
+            mut["batch_stats"], stats0))
+    want = jax.tree.map(lambda *xs: np.mean(xs, axis=0), *batch_stats)
+    got = jax.tree.map(np.asarray, trainer.state.batch_stats)
+    jax.tree.map(lambda w, g: np.testing.assert_allclose(w, g, rtol=1e-4,
+                                                         atol=1e-6), want, got)
 
 
 def test_enhance_full_vs_streaming(data_root):
