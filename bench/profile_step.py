@@ -123,9 +123,11 @@ def main():
                args.iters),
         flops_of(pipe, state.params, state.batch_stats, batch))
 
-    # 5. value_and_grad of the pipeline
+    # 5. value_and_grad of the pipeline (grads CONSUMED in the output —
+    # returning only the value lets XLA DCE the whole backward)
     def vg(params, bs, b):
-        return jax.value_and_grad(lambda p: pipe(p, bs, b))(params)[0]
+        l, g = jax.value_and_grad(lambda p: pipe(p, bs, b))(params)
+        return l + sum(x.astype(jnp.float32).sum() for x in jax.tree.leaves(g))
     segments["fwd_bwd"] = (
         timeit(jax.jit(vg), (state.params, state.batch_stats, batch),
                args.iters),
@@ -134,8 +136,12 @@ def main():
     # 6. full train step (fwd+bwd+adam+nan gate)
     inner = S.make_train_step(model, cfg, tx)
     def full(st, b, r):
+        # consume the UPDATED PARAMS, not just the loss — a loss-only output
+        # leaves new_state dead and XLA DCEs backward+adam entirely
         st2, m = inner(st, b, r)
-        return m["loss"] + st2.step.astype(jnp.float32) * 0.0
+        psum = sum(x.astype(jnp.float32).sum()
+                   for x in jax.tree.leaves(st2.params))
+        return m["loss"] + psum * 1e-12
     segments["train_step_full"] = (
         timeit(jax.jit(full), (state, batch, rng), args.iters),
         flops_of(full, state, batch, rng))
@@ -147,7 +153,9 @@ def main():
     cw = jnp.broadcast_to(clean, (K,) + clean.shape)
     def sc(st, n, c, r):
         st2, m = scanned(st, n, c, r)
-        return m["loss"] + st2.step.astype(jnp.float32) * 0.0
+        psum = sum(x.astype(jnp.float32).sum()
+                   for x in jax.tree.leaves(st2.params))
+        return m["loss"] + psum * 1e-12
     t = timeit(jax.jit(sc), (state, nw, cw, rng), max(args.iters // 2, 5))
     segments["train_step_scan8_per_step"] = (t / K,
                                              flops_of(sc, state, nw, cw, rng) / K)

@@ -226,9 +226,16 @@ def main():
             vg, (state.params, state.batch_stats, batch), max(reps // 3, 5))
 
     inner = S.make_train_step(model, cfg, tx)
+
+    def full_step(st, b):
+        # consume the updated params — a loss-only output lets XLA DCE the
+        # backward and Adam (the round-2 "12 ms train step" artifact)
+        st2, m = inner(st, b, rng)
+        psum = sum(x.astype(jnp.float32).sum()
+                   for x in jax.tree.leaves(st2.params))
+        return m["loss"] + psum * 1e-12
     time_op("full train step (fwd+bwd+adam)",
-            lambda st, b: inner(st, b, rng)[1]["loss"],
-            (state, batch), max(reps // 3, 5))
+            full_step, (state, batch), max(reps // 3, 5))
 
 
 if __name__ == "__main__":

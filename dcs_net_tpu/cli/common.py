@@ -79,16 +79,22 @@ def build_config(args) -> Config:
 def make_loaders(cfg: Config, test_batch_size: int = 1):
     from dcs_net_tpu.data.dataset import Loader, VoiceBankDataset
     from dcs_net_tpu.data.partition import make_partition, shard_ids
+    from dcs_net_tpu.parallel import mesh as pmesh
 
     import jax
 
     part = make_partition(cfg.data, seed=cfg.run.seed)
-    # per-host shard for multi-host DP (no-op single host)
+    # per-host shard for multi-host DP (no-op single host). cfg.data.batch_size
+    # is the GLOBAL batch: each host's loader yields its 1/nhosts local shard,
+    # which Trainer._device_batch assembles into the global batch via
+    # form_global_batch (parallel/mesh.py).
     host, nhosts = jax.process_index(), jax.process_count()
+    local_bs = (pmesh.host_local_batch_size(cfg.data.batch_size)
+                if nhosts > 1 else cfg.data.batch_size)
     splits = {}
     for name, mode, bs, shuffle in (
-            ("train", "train", cfg.data.batch_size, True),
-            ("val", "val", cfg.data.batch_size, True),
+            ("train", "train", local_bs, True),
+            ("val", "val", local_bs, True),
             ("test", "test", test_batch_size, True)):
         ids = part[name]
         if nhosts > 1 and name != "test":

@@ -19,9 +19,23 @@ def main(argv=None) -> None:
     p.add_argument("--no-tensorboard", action="store_true")
     p.add_argument("--limit-train-batches", type=int, default=None,
                    help="cap train batches per epoch (smoke runs)")
+    p.add_argument("--steps-per-dispatch", type=int, default=None,
+                   help="train steps fused per device dispatch (lax.scan); "
+                        "amortizes host->device launch latency. Default: 8 "
+                        "on TPU, 1 elsewhere")
     args = p.parse_args(argv)
 
     cfg = build_config(args)
+    if args.steps_per_dispatch is None:
+        # production default: amortize dispatch latency on real accelerators
+        # (the round-2 lever that only bench.py used — VERDICT r2 item 8)
+        from dcs_net_tpu.utils.platform import is_tpu_backend
+
+        args.steps_per_dispatch = 8 if is_tpu_backend() else 1
+    if args.steps_per_dispatch != cfg.run.steps_per_dispatch:
+        cfg = cfg.replace(run=cfg.run.__class__(
+            **{**cfg.run.__dict__,
+               "steps_per_dispatch": max(args.steps_per_dispatch, 1)}))
     print(f"variant={cfg.variant} complex={cfg.model.complex_valued} "
           f"subtractive={cfg.model.subtractive} faithful_quirks="
           f"{cfg.quirks == cfg.quirks.__class__()}")

@@ -121,9 +121,19 @@ class ModelConfig:
         (2, 1), (2, 1), (2, 1), (2, 1), (2, 2), (2, 2), (2, 2))
     lstm_layers: int = 2
     lstm_bidir: bool = True
+    # Streaming mode: flatten the latent time-major (sequence runs over time,
+    # not the reference's f-major flatten, r_network.py:149) so LSTM state
+    # carried across chunks equals one continuous pass. Reference parity
+    # requires False.
+    lstm_time_major: bool = False
     dropout: bool = True
     dropout_conv: float = 0.1
     dropout_fc: float = 0.2
+    # CBAM attention on skips + decoder outputs (always on in the reference,
+    # r_network.py:106-116). False is for streaming deployments: channel
+    # attention pools over the WHOLE time axis, which breaks chunk-local
+    # causality — without it, chunked enhancement with LSTM carry is exact.
+    attention: bool = True
     ca_reduction: int = 16
     sa_kernel: int = 7
     atan2_eps: float = 1e-6  # hparams['atan2_eps'] = 10e-7

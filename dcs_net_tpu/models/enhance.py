@@ -68,16 +68,45 @@ def enhance_full(model, variables, wave: jnp.ndarray, cfg: Config) -> jnp.ndarra
         pad_top=cfg.quirks.istft_pad_top_bin, length=n)
 
 
+def zero_lstm_state(cfg: Config, batch: int):
+    """The streaming LSTM carry at sequence start (all-zero (h, c)).
+
+    Shapes mirror ops/lstm.py: real nets carry (h, c) each (L*D, B, H);
+    complex nets carry a pair of such states on the 2B-stacked (re, im)
+    batch (ops/lstm.py ComplexLSTM).
+    """
+    m = cfg.model
+    D = 2 if m.lstm_bidir else 1
+    H = m.lstm_hidden
+
+    def one(b):
+        z = jnp.zeros((m.lstm_layers * D, b, H), jnp.float32)
+        return (z, jnp.zeros_like(z))
+
+    return (one(2 * batch), one(2 * batch)) if m.complex_valued else one(batch)
+
+
 def enhance_streaming(
     model, variables, wave: jnp.ndarray, cfg: Config,
     chunk_frames: int = 256, overlap: int = 64,
+    carry_lstm_state: bool = False,
 ) -> jnp.ndarray:
     """(B, n) noisy -> (B, n) enhanced via fixed-shape chunks.
 
     One compile regardless of utterance length; chunk masks crossfaded over
     the overlap. chunk_frames must be a multiple of 8.
+
+    ``carry_lstm_state=True`` threads the LSTM (h, c) through the chunk scan
+    (SURVEY.md §5 "overlap-add state carry"): each chunk's latent sequence
+    continues the previous chunk's instead of restarting from zeros. Requires
+    a unidirectional LSTM (``lstm_bidir=False``; a backward pass cannot
+    stream), and is exact — chunked == full pass — when the latent is flattened
+    time-major (``lstm_time_major=True``) and chunks tile without overlap.
     """
     assert chunk_frames % 8 == 0 and 0 <= overlap < chunk_frames
+    if carry_lstm_state:
+        assert not cfg.model.lstm_bidir, (
+            "LSTM state carry requires a unidirectional (streaming) model")
     n = wave.shape[-1]
     spec = dsp.stft(wave, cfg.stft)  # (B, F, T)
     B, F, T = spec.shape
@@ -94,14 +123,20 @@ def enhance_streaming(
         chunk = CArray(
             jax.lax.dynamic_slice_in_dim(padded.re, start, chunk_frames, axis=2),
             jax.lax.dynamic_slice_in_dim(padded.im, start, chunk_frames, axis=2))
-        mask = model.apply(variables, _model_input(chunk, cfg), train=False)
+        if carry_lstm_state:
+            mask, carry = model.apply(
+                variables, _model_input(chunk, cfg), train=False,
+                lstm_state=carry, return_lstm_state=True)
+        else:
+            mask = model.apply(variables, _model_input(chunk, cfg), train=False)
         if isinstance(mask, CArray):
             out = jnp.stack([mask.re, mask.im])
         else:
             out = mask[None]
         return carry, out
 
-    _, chunk_masks = jax.lax.scan(run_chunk, None, starts)
+    init = zero_lstm_state(cfg, B) if carry_lstm_state else None
+    _, chunk_masks = jax.lax.scan(run_chunk, init, starts)
     # chunk_masks: (n_chunks, P, B, F, chunk_frames) with P in {1, 2}
 
     # crossfade weights: ramp up over the overlap, flat, ramp handled by the

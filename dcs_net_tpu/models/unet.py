@@ -40,10 +40,15 @@ class DCSNet(nn.Module):
     quirks: Quirks = Quirks()
 
     @nn.compact
-    def __call__(self, x: SpecLike, *, train: bool) -> SpecLike:
+    def __call__(self, x: SpecLike, *, train: bool, lstm_state=None,
+                 return_lstm_state: bool = False):
         """x: (B, F, T) magnitude (real nets) or CArray spectrogram (complex).
 
-        Returns the bounded mask, shape (B, F, T) (real or CArray).
+        Returns the bounded mask, shape (B, F, T) (real or CArray). With
+        ``return_lstm_state=True`` returns ``(mask, lstm_state)`` instead —
+        the streaming-enhancement path threads the (h, c) carry across chunks
+        (pair with ``lstm_bidir=False`` + ``lstm_time_major=True`` so the
+        carried state means "continuation of the same sequence").
         """
         m = self.cfg
         cx = m.complex_valued
@@ -91,50 +96,72 @@ class DCSNet(nn.Module):
 
         # -- latent: flatten -> LSTM -> FC -> reshape ------------------------
         B, Fp, Tp, C = e.shape
-        seq = e.reshape(B, Fp * Tp, C)  # same (f-major) ordering as
-        # torch.flatten(e, 2, 3).permute(0, 2, 1) on NCHW (r_network.py:149)
+        if m.lstm_time_major:
+            # streaming order: sequence over (t, f) so chunk concatenation
+            # along time == one continuous sequence
+            if cx:
+                seq = CArray(
+                    jnp.transpose(e.re, (0, 2, 1, 3)).reshape(B, Tp * Fp, C),
+                    jnp.transpose(e.im, (0, 2, 1, 3)).reshape(B, Tp * Fp, C))
+            else:
+                seq = jnp.transpose(e, (0, 2, 1, 3)).reshape(B, Tp * Fp, C)
+        else:
+            seq = e.reshape(B, Fp * Tp, C)  # same (f-major) ordering as
+            # torch.flatten(e, 2, 3).permute(0, 2, 1) on NCHW (r_network.py:149)
         if cx:
-            lstm_out, _ = ComplexLSTM(m.lstm_hidden, m.lstm_layers,
-                                      m.lstm_bidir, dtype=dt, name="lstm")(seq)
+            lstm_out, new_lstm_state = ComplexLSTM(
+                m.lstm_hidden, m.lstm_layers, m.lstm_bidir, dtype=dt,
+                name="lstm")(seq, lstm_state)
             fc_out = cl.ComplexLinear(m.fc_features, weight_init=m.init,
                                       dtype=dt, name="fc")(lstm_out)
             fc_out = drop_fc(fc_out, train=train)  # ungated (c_network.py:203)
         else:
-            lstm_out, _ = LSTM(m.lstm_hidden, m.lstm_layers, m.lstm_bidir,
-                               dtype=dt, name="lstm")(seq)
+            lstm_out, new_lstm_state = LSTM(
+                m.lstm_hidden, m.lstm_layers, m.lstm_bidir, dtype=dt,
+                name="lstm")(seq, lstm_state)
             fc_out = rl.Linear(m.fc_features, weight_init=m.init, dtype=dt,
                                name="fc")(lstm_out)
             if m.dropout:  # gated only in the real net (r_network.py:152)
                 fc_out = drop_fc(fc_out, train=train)
-        d = fc_out.reshape(B, Fp, Tp, C)
+        if m.lstm_time_major:
+            if cx:
+                d = CArray(
+                    jnp.transpose(fc_out.re.reshape(B, Tp, Fp, C), (0, 2, 1, 3)),
+                    jnp.transpose(fc_out.im.reshape(B, Tp, Fp, C), (0, 2, 1, 3)))
+            else:
+                d = jnp.transpose(fc_out.reshape(B, Tp, Fp, C), (0, 2, 1, 3))
+        else:
+            d = fc_out.reshape(B, Fp, Tp, C)
 
         # -- decoder ---------------------------------------------------------
         for i in range(m.n_layers):
             skip = enc_out[m.n_layers - i]
             skip_c = skip.shape[-1]
             if cx:
-                ca = att.ComplexChannelAttention(
-                    skip_c, m.ca_reduction,
-                    maxpool_is_avg=self.quirks.complex_maxpool_is_avg,
-                    weight_init=m.init, dtype=dt, name=f"skip{i}_ca")(skip)
-                skip = ca * skip
-                sa = att.ComplexSpatialAttention(
-                    m.sa_kernel, weight_init=m.init, dtype=dt,
-                    name=f"skip{i}_sa")(skip)
-                skip = sa * skip
+                if m.attention:
+                    ca = att.ComplexChannelAttention(
+                        skip_c, m.ca_reduction,
+                        maxpool_is_avg=self.quirks.complex_maxpool_is_avg,
+                        weight_init=m.init, dtype=dt, name=f"skip{i}_ca")(skip)
+                    skip = ca * skip
+                    sa = att.ComplexSpatialAttention(
+                        m.sa_kernel, weight_init=m.init, dtype=dt,
+                        name=f"skip{i}_sa")(skip)
+                    skip = sa * skip
                 d = CArray(jnp.concatenate([d.re, skip.re], axis=-1),
                            jnp.concatenate([d.im, skip.im], axis=-1))
                 d = cl.complex_upsample_nearest(d, m.upsample[i])
             else:
-                ca = att.RealChannelAttention(
-                    skip_c, m.ca_reduction,
-                    max_only=self.quirks.real_ca_max_only,
-                    weight_init=m.init, dtype=dt, name=f"skip{i}_ca")(skip)
-                skip = ca * skip
-                sa = att.RealSpatialAttention(
-                    m.sa_kernel, weight_init=m.init, dtype=dt,
-                    name=f"skip{i}_sa")(skip)
-                skip = sa * skip
+                if m.attention:
+                    ca = att.RealChannelAttention(
+                        skip_c, m.ca_reduction,
+                        max_only=self.quirks.real_ca_max_only,
+                        weight_init=m.init, dtype=dt, name=f"skip{i}_ca")(skip)
+                    skip = ca * skip
+                    sa = att.RealSpatialAttention(
+                        m.sa_kernel, weight_init=m.init, dtype=dt,
+                        name=f"skip{i}_sa")(skip)
+                    skip = sa * skip
                 d = jnp.concatenate([d, skip], axis=-1)
                 d = rl.upsample_nearest(d, m.upsample[i])
 
@@ -147,13 +174,14 @@ class DCSNet(nn.Module):
                 if not last:
                     d = cl.ComplexBatchNorm2d(cout, name=f"dec{i}_bn")(d, train=train)
                     d = cl.complex_leaky_relu(d)
-                    d = d * att.ComplexChannelAttention(
-                        cout, m.ca_reduction,
-                        maxpool_is_avg=self.quirks.complex_maxpool_is_avg,
-                        weight_init=m.init, dtype=dt, name=f"dec{i}_ca")(d)
-                    d = d * att.ComplexSpatialAttention(
-                        m.sa_kernel, weight_init=m.init, dtype=dt,
-                        name=f"dec{i}_sa")(d)
+                    if m.attention:
+                        d = d * att.ComplexChannelAttention(
+                            cout, m.ca_reduction,
+                            maxpool_is_avg=self.quirks.complex_maxpool_is_avg,
+                            weight_init=m.init, dtype=dt, name=f"dec{i}_ca")(d)
+                        d = d * att.ComplexSpatialAttention(
+                            m.sa_kernel, weight_init=m.init, dtype=dt,
+                            name=f"dec{i}_sa")(d)
             else:
                 d = rl.ConvTranspose2d(
                     cout, m.kernel_d[i], padding=m.kernel_d[i] // 2, dtype=dt,
@@ -161,13 +189,14 @@ class DCSNet(nn.Module):
                 if not last:
                     d = rl.BatchNorm2d(cout, name=f"dec{i}_bn")(d, train=train)
                     d = rl.leaky_relu(d)
-                    d = d * att.RealChannelAttention(
-                        cout, m.ca_reduction,
-                        max_only=self.quirks.real_ca_max_only,
-                        weight_init=m.init, dtype=dt, name=f"dec{i}_ca")(d)
-                    d = d * att.RealSpatialAttention(
-                        m.sa_kernel, weight_init=m.init, dtype=dt,
-                        name=f"dec{i}_sa")(d)
+                    if m.attention:
+                        d = d * att.RealChannelAttention(
+                            cout, m.ca_reduction,
+                            max_only=self.quirks.real_ca_max_only,
+                            weight_init=m.init, dtype=dt, name=f"dec{i}_ca")(d)
+                        d = d * att.RealSpatialAttention(
+                            m.sa_kernel, weight_init=m.init, dtype=dt,
+                            name=f"dec{i}_sa")(d)
             d = drop_conv(d, train=train)
 
         # -- output bound (r_network.py:172, c_network.py:225) ---------------
@@ -175,6 +204,10 @@ class DCSNet(nn.Module):
         if cx:
             out = CArray(d.re[..., 0].astype(jnp.float32),
                          d.im[..., 0].astype(jnp.float32))
-            return masks.bound_crm(out, m.atan2_eps)
-        out = d[..., 0].astype(jnp.float32)
-        return jnp.reciprocal(1.0 + jnp.exp(-out))
+            out = masks.bound_crm(out, m.atan2_eps)
+        else:
+            out = d[..., 0].astype(jnp.float32)
+            out = jnp.reciprocal(1.0 + jnp.exp(-out))
+        if return_lstm_state:
+            return out, new_lstm_state
+        return out

@@ -237,7 +237,6 @@ def pallas_conv_applicable(shape: Tuple[int, ...], kernel_size: int,
         return False
     if cout > 16 or H * W < 64 * 64 or H % 8 or W % 8:
         return False
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
+    from dcs_net_tpu.utils.platform import is_tpu_backend
+
+    return is_tpu_backend()

@@ -1,8 +1,9 @@
 """Model family structural tests: shapes, bounds, variant axes, param counts.
 
-Full-size forward parity vs the reference can't run here (torch reference
-needs complexPyTorch + GPU); instead the model is validated layer-by-layer in
-test_layers/test_lstm and structurally here on reduced spectrograms.
+Composed full-size forward/backward parity vs a torch reconstruction of the
+reference network lives in test_model_oracle.py; per-layer numerical parity in
+test_layers/test_lstm. This file covers the structural properties on reduced
+spectrograms (fast CPU shapes).
 """
 
 import numpy as np
