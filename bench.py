@@ -46,6 +46,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from dcs_net_tpu.utils.platform import enable_fast_rng
+
+    enable_fast_rng()
+
     from dcs_net_tpu.core.config import config_for_variant
     from dcs_net_tpu.models.unet import DCSNet
     from dcs_net_tpu.parallel import mesh as pmesh

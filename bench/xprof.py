@@ -34,6 +34,10 @@ import numpy as np
 def build_step(variant, batch, crop, dtype):
     import dataclasses
 
+    from dcs_net_tpu.utils.platform import enable_fast_rng
+
+    enable_fast_rng()
+
     from dcs_net_tpu.core.config import config_for_variant
     from dcs_net_tpu.models.unet import DCSNet
     from dcs_net_tpu.train import steps as S

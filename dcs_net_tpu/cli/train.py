@@ -32,6 +32,9 @@ def main(argv=None) -> None:
         from dcs_net_tpu.utils.platform import is_tpu_backend
 
         args.steps_per_dispatch = 8 if is_tpu_backend() else 1
+    from dcs_net_tpu.utils.platform import enable_fast_rng
+
+    enable_fast_rng()  # hardware RNG for dropout masks on TPU (no-op on CPU)
     if args.steps_per_dispatch != cfg.run.steps_per_dispatch:
         cfg = cfg.replace(run=cfg.run.__class__(
             **{**cfg.run.__dict__,

@@ -55,7 +55,8 @@ def run_trial(cfg: Config, epochs: int, report=None) -> float:
     best = {"v": float("-inf")}
 
     def on_val(epoch: int, metrics: Dict[str, float]) -> bool:
-        v = metrics.get("val_pesq", metrics.get("val_stoi", float("-inf")))
+        v = metrics.get("val_pesq", metrics.get(
+            "val_pesq_est", metrics.get("val_stoi", float("-inf"))))
         best["v"] = max(best["v"], v)
         if report is not None:
             return report(epoch, v)  # True -> prune

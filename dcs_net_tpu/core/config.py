@@ -81,6 +81,12 @@ class Quirks:
     loss_one_minus_alpha: noise loss combined as ``1 - alpha * L`` (literal
         parenthesization, /root/reference/network_functions.py:196) rather than
         ``(1 - alpha) * L``.
+    nan_gate_loss_only: the reference's NaN-skip inspects only the LOSS
+        (r_network.py:203-207); a NaN that appears first in the gradients
+        would then poison the parameters. Default False == also gate on
+        gradient finiteness (a deliberate deviation — strictly safer, and a
+        no-op whenever the reference's gate would fire). Set True for
+        bit-faithful step-skip behavior.
     """
 
     istft_pad_top_bin: bool = True
@@ -88,6 +94,7 @@ class Quirks:
     real_ca_max_only: bool = True
     complex_maxpool_is_avg: bool = True
     loss_one_minus_alpha: bool = True
+    nan_gate_loss_only: bool = False
 
     @classmethod
     def idiomatic(cls) -> "Quirks":
@@ -97,6 +104,7 @@ class Quirks:
             real_ca_max_only=False,
             complex_maxpool_is_avg=False,
             loss_one_minus_alpha=False,
+            nan_gate_loss_only=False,
         )
 
 

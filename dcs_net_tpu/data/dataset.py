@@ -117,6 +117,25 @@ class Loader:
                           and not dataset.cfg.load_into_ram)
         self.use_native = use_native
         self._lengths: Optional[List[int]] = None
+        # one pool for the Loader's lifetime — creating/tearing down a
+        # ThreadPoolExecutor per batch costs thread spawns on the hot path
+        self._pool: Optional[ThreadPoolExecutor] = None
+
+    def _get_pool(self) -> ThreadPoolExecutor:
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(self.num_workers)
+        return self._pool
+
+    def close(self) -> None:
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
+
+    def __del__(self):  # best effort; close() is the explicit path
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def _utt_lengths(self) -> List[int]:
         """Post-resample utterance lengths from wav headers (cheap)."""
@@ -157,11 +176,10 @@ class Loader:
 
         def fetch_python(batch_idx: int) -> Dict[str, np.ndarray]:
             idxs = batches[batch_idx]
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                items = list(pool.map(
-                    lambda i: self.ds.get(
-                        i, np.random.default_rng(int(crop_seeds[i]) + epoch)),
-                    idxs))
+            items = list(self._get_pool().map(
+                lambda i: self.ds.get(
+                    i, np.random.default_rng(int(crop_seeds[i]) + epoch)),
+                idxs))
             return {
                 "clean": np.stack([it["clean"] for it in items]),
                 "noisy": np.stack([it["noisy"] for it in items]),

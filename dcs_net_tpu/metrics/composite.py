@@ -10,7 +10,9 @@ evaluation metrics outside the training hot path, exactly like the
 reference's MATLAB round-trip (but without the MATLAB).
 
 Conventions (matching composite.m):
-  * 30 ms Hamming frames, 75% overlap;
+  * 30 ms frames, 75% overlap, MATLAB-hanning windowed
+    (w[k] = 0.5*(1 - cos(2*pi*k/(N+1))), k = 1..N — composite.m uses this
+    window in snr_seg, llr and wss alike);
   * SegSNR clamped to [-10, 35] dB per frame;
   * LLR mean over the smallest 95% of frames;
   * WSS mean over the smallest 95% of frames;
@@ -35,18 +37,28 @@ def _frames(x: np.ndarray, win: int, skip: int) -> np.ndarray:
     return x[idx]
 
 
+def _hann_matlab(n: int) -> np.ndarray:
+    """MATLAB hanning(n): 0.5*(1 - cos(2*pi*k/(n+1))), k = 1..n — no zero
+    endpoints (unlike numpy.hanning). This is the window composite.m applies
+    in snr_seg/llr/wss."""
+    k = np.arange(1, n + 1)
+    return 0.5 * (1.0 - np.cos(2.0 * np.pi * k / (n + 1)))
+
+
 def segsnr(clean: np.ndarray, processed: np.ndarray, sr: int,
            *, floor_db: float = -10.0, ceil_db: float = 35.0,
            eps: float = np.finfo(np.float64).eps) -> float:
-    """Segmental SNR, per-frame dB clamped to [floor, ceil], mean over frames."""
+    """Segmental SNR over MATLAB-hanning-windowed frames, per-frame dB
+    clamped to [floor, ceil], mean over frames (composite.m snr_seg)."""
     clean = np.asarray(clean, np.float64)
     processed = np.asarray(processed, np.float64)
     n = min(len(clean), len(processed))
     clean, processed = clean[:n], processed[:n]
     win = int(round(30 * sr / 1000))
     skip = win // 4
-    cf = _frames(clean, win, skip)
-    df = _frames(clean - processed, win, skip)
+    w = _hann_matlab(win)
+    cf = _frames(clean, win, skip) * w
+    df = _frames(clean - processed, win, skip) * w
     num = np.sum(cf * cf, axis=1)
     den = np.sum(df * df, axis=1)
     snr = 10.0 * np.log10((num + eps) / (den + eps))
@@ -89,7 +101,7 @@ def llr(clean: np.ndarray, processed: np.ndarray, sr: int,
         *, alpha: float = 0.95) -> float:
     """Log-likelihood ratio (Itakura distance between frame LPC models).
 
-    Per frame: log( a_p^T R_c a_p / a_c^T R_c a_c ), a = LPC of the Hamming-
+    Per frame: log( a_p^T R_c a_p / a_c^T R_c a_c ), a = LPC of the MATLAB-hanning-
     windowed frame (order 16 @16 kHz, 10 @8 kHz); mean over the smallest
     ``alpha`` fraction of frames.
     """
@@ -100,7 +112,7 @@ def llr(clean: np.ndarray, processed: np.ndarray, sr: int,
     win = int(round(30 * sr / 1000))
     skip = win // 4
     order = 16 if sr >= 10000 else 10
-    w = np.hamming(win)
+    w = _hann_matlab(win)
     cf = _frames(clean, win, skip) * w
     pf = _frames(processed, win, skip) * w
     vals = []
@@ -168,7 +180,7 @@ def wss(clean: np.ndarray, processed: np.ndarray, sr: int,
                                 + norm_factor)
         crit_filter[i] *= crit_filter[i] > np.exp(-30.0 / (2 * 2.303))
 
-    w = np.hamming(win)
+    w = _hann_matlab(win)
     cf = _frames(clean, win, skip) * w
     pf = _frames(processed, win, skip) * w
 

@@ -45,6 +45,19 @@ def _find_external():
     return _external
 
 
+def is_estimate() -> bool:
+    """True when PESQ values come from the native ESTIMATOR rather than a
+    conformance-tested P.862 implementation.
+
+    Finding (VERDICT r2 task 5, docs/PESQ_PARITY.md): this environment has no
+    pypesq/pesq wheel and no network egress, and ITU P.862 reference scores /
+    conformance pairs are not redistributable, so |MOS - P.862| cannot be
+    bounded here. Metric keys therefore report 'pesq_est' unless a real wheel
+    is importable."""
+    name, fn = _find_external()
+    return fn is None
+
+
 def _build_library() -> str:
     root = _repo_root()
     src = os.path.join(root, "native", "pesq", "pesq.cc")

@@ -41,9 +41,13 @@ class RealChannelAttention(nn.Module):
         def fc(v):
             return fc2(rl.relu(fc1(v)))
 
-        avg_out = fc(rl.adaptive_avg_pool_1(x))
-        max_out = fc(rl.adaptive_max_pool_1(x))
-        out = max_out if self.max_only else avg_out + max_out
+        # the reference computes the avg branch and then discards it
+        # (r_network.py:23-24); skipping it entirely is output-identical and
+        # saves a full (B,F,T,C) reduction + FC in fwd AND bwd per module
+        if self.max_only:
+            out = fc(rl.adaptive_max_pool_1(x))
+        else:
+            out = fc(rl.adaptive_avg_pool_1(x)) + fc(rl.adaptive_max_pool_1(x))
         return jnp.reciprocal(1.0 + jnp.exp(-out))
 
 
@@ -83,9 +87,14 @@ class ComplexChannelAttention(nn.Module):
         def fc(v):
             return fc2(cl.complex_relu(fc1(v)))
 
+        if self.maxpool_is_avg:
+            # faithful mode: the reference's complex "max pool" IS an avg pool
+            # (network_functions.py:135-138), so avg_fc + max_fc == 2*avg_fc —
+            # one pooled reduction + FC instead of two, bit-identical output
+            avg_out = fc(cl.complex_adaptive_avg_pool_1(x))
+            return cl.complex_sigmoid(avg_out + avg_out)
         avg_out = fc(cl.complex_adaptive_avg_pool_1(x))
-        max_out = fc(cl.complex_adaptive_max_pool_1(
-            x, faithful_avg=self.maxpool_is_avg))
+        max_out = fc(cl.complex_adaptive_max_pool_1(x, faithful_avg=False))
         return cl.complex_sigmoid(avg_out + max_out)
 
 

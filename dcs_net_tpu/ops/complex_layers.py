@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from dcs_net_tpu.ops import conv_engine as ce
 from dcs_net_tpu.ops import initializers as init
 from dcs_net_tpu.utils.carray import CArray
 
@@ -69,13 +70,11 @@ class ComplexConv2d(nn.Module):
         packed = jnp.concatenate([x.re, x.im], axis=-1).astype(self.dtype)
         p = self.padding
         # operands AND output in self.dtype (single-dtype VJP; MXU accumulates
-        # f32 internally; bf16 activations halve the HBM traffic bottleneck)
-        y = jax.lax.conv_general_dilated(
-            packed, _block_kernel(wr, wi).astype(self.dtype),
-            window_strides=self.stride,
-            padding=((p, p), (p, p)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        # f32 internally; bf16 activations halve the HBM traffic bottleneck).
+        # conv_engine reroutes degenerate-channel shapes (dec6, SA convs) to
+        # dot_general reformulations.
+        y = ce.conv2d(packed, _block_kernel(wr, wi).astype(self.dtype),
+                      self.stride, p)
         if self.use_bias:
             b_init = init.torch_bias_uniform(fan_in)
             br = self.param("bias_r", b_init, (self.features,))
@@ -108,13 +107,16 @@ class ComplexConvTranspose2d(nn.Module):
         packed = jnp.concatenate([x.re, x.im], axis=-1).astype(self.dtype)
         kernel = jnp.flip(_block_kernel(wr, wi), axis=(0, 1)).astype(self.dtype)
         p = self.padding
-        y = jax.lax.conv_general_dilated(
-            packed, kernel,
-            window_strides=(1, 1),
-            padding=((kh - 1 - p, kh - 1 - p), (kw - 1 - p, kw - 1 - p)),
-            lhs_dilation=self.stride,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if self.stride == (1, 1):
+            y = ce.conv2d(packed, kernel, (1, 1), kh - 1 - p)
+        else:
+            y = jax.lax.conv_general_dilated(
+                packed, kernel,
+                window_strides=(1, 1),
+                padding=((kh - 1 - p, kh - 1 - p), (kw - 1 - p, kw - 1 - p)),
+                lhs_dilation=self.stride,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             b_init = init.torch_bias_uniform(fan_in)
             br = self.param("bias_r", b_init, (self.features,))

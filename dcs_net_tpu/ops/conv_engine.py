@@ -1,0 +1,370 @@
+"""Shape-aware conv dispatch: matmul reformulations for degenerate channels.
+
+Why (VERDICT r2 task 1/2; BASELINE.md roofline): the decoder convTs and CBAM
+spatial-attention convs of this family have tiny channel counts at huge
+spatial extents (dec6: 32->2 @ 256x256, SA: 4->2 k=7). XLA:TPU lowers those
+through im2col-style convolutions whose MXU tiles are almost empty and whose
+operands get relayouted around the conv — the device profile of the real
+train step (bench/xprof.py, batch 32 bf16) showed, per step:
+
+    dec6 convT forward   1.79 ms   (HBM roofline ~0.18 ms)
+    dec6 wgrad           1.78 ms
+    dec6 dgrad + split   2.43 ms
+    SA conv wgrads       1.45/1.16/0.35/... ms each
+
+This module reformulates stride-1 'same' odd-kernel convs so every direction
+is ONE large dot_general plus cheap data movement, choosing per direction:
+
+  forward   cout*K*K small -> "tap-fold": T = x_pad @ W2 (Cin contracted,
+            K*K*Cout lanes), y = sum of K*K shifted slices of T. Reads x
+            once; no Cin*K*K patch blowup. (ops/pallas_conv.py is the
+            VMEM-resident version of the same formulation for the TPU.)
+  dx        cout*K*K small -> patches(g) (K*K*Cout lanes, small by
+            construction) @ V, one dot straight to (B,H,W,Cin).
+  dw        cout*K*K small -> x^T @ patches(g): one dot contracting the
+            B*H*W axis (the huge dimension becomes the MXU contraction).
+
+Everything else falls back to lax.conv_general_dilated. Selection is static
+(shape-driven) so jit traces exactly one implementation.
+
+Patch feature order: conv_general_dilated_patches yields features as
+(channel-major, then kh, kw) — verified in tests/test_conv_engine.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+# max lane width for the reformulated side: ~one MXU tile. K*K*Cout above
+# this and the standard conv lowering is no longer the bottleneck shape class.
+# 144 (not 128) so the dec5-class convT (k=3, cout=16 packed-complex) is
+# captured: its dgrad+split+wgrad measured 0.81+0.46+0.44 ms under XLA.
+_MAX_PACKED_LANES = 144
+
+
+def _f32(x):
+    return x.astype(jnp.float32)
+
+
+def use_tuned(kernel_size: int, stride: Tuple[int, int], padding: int,
+              cout: int) -> bool:
+    """Static predicate: route through conv2d_same_tuned?"""
+    return (stride == (1, 1) and kernel_size > 1 and kernel_size % 2 == 1
+            and padding == kernel_size // 2
+            and kernel_size * kernel_size * cout <= _MAX_PACKED_LANES)
+
+
+def _conv_xla(x, w):
+    K = w.shape[0]
+    p = K // 2
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((p, p), (p, p)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _fwd_tapfold(x, w):
+    """y = conv(x, w) via T = x_pad @ W2 then a K*K-tap shifted-slice sum."""
+    K, _, Cin, Cout = w.shape
+    p = K // 2
+    B, H, W, _ = x.shape
+    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+    w2 = jnp.transpose(w, (2, 0, 1, 3)).reshape(Cin, K * K * Cout)
+    t = jax.lax.dot_general(xp, w2, (((3,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    t = t.astype(x.dtype)  # (B, H+2p, W+2p, K*K*Cout)
+    acc = jnp.zeros((B, H, W, Cout), jnp.float32)
+    for kh in range(K):
+        for kw in range(K):
+            tap = kh * K + kw
+            sl = jax.lax.slice(
+                t, (0, kh, kw, tap * Cout),
+                (B, kh + H, kw + W, (tap + 1) * Cout))
+            acc = acc + _f32(sl)
+    return acc.astype(x.dtype)
+
+
+def _patches(g, K):
+    """'same' K x K patches as shifted slices + concat; features TAP-major:
+    index = (kh*K + kw)*C + c.
+
+    NOT conv_general_dilated_patches: XLA:TPU lowers that through a gather
+    plus a layout copy (profiled at 0.59 + 0.68 ms for the dec6 dgrad
+    patches alone); K*K shifted slices of one padded buffer fuse into a
+    single kLoop read instead."""
+    p = K // 2
+    B, H, W, C = g.shape
+    gp = jnp.pad(g, ((0, 0), (p, p), (p, p), (0, 0)))
+    cols = []
+    for kh in range(K):
+        for kw in range(K):
+            cols.append(jax.lax.slice(
+                gp, (0, kh, kw, 0), (B, kh + H, kw + W, C)))
+    return jnp.concatenate(cols, axis=-1)
+
+
+def _dgrad_patchdot(g, w):
+    """dx[b,h,w,ci] = sum_{kh,kw,co} g_pad[b,h+kh-p,w+kw-p,co] *
+    flip(w)[kh,kw,ci,co]  — one dot over the small K*K*Cout axis."""
+    K, _, Cin, Cout = w.shape
+    pg = _patches(g, K)  # (B, H, W, K*K*Cout), tap-major
+    v = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2)  # (K, K, Cout, Cin)
+    v = v.reshape(K * K * Cout, Cin).astype(g.dtype)
+    dx = jax.lax.dot_general(pg, v, (((3,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    return dx
+
+
+def _wgrad_patchdot(x, g, K):
+    """dw[kh,kw,ci,co] = sum_{b,h,w} x[b,h,w,ci] *
+    g_pad[b,h-kh+p,w-kw+p,co]  — one dot contracting B*H*W."""
+    pg = _patches(g, K)  # (B, H, W, K*K*Cout), tap-major, tap (K-1-kh, ...)
+    Cout = g.shape[-1]
+    m = jax.lax.dot_general(x, pg, (((0, 1, 2), (0, 1, 2)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    m = m.reshape(x.shape[-1], K, K, Cout)        # (Cin, kh', kw', Cout)
+    m = jnp.flip(m, (1, 2))                       # kh' = K-1-kh -> kh
+    return jnp.transpose(m, (1, 2, 0, 3))          # (K, K, Cin, Cout)
+
+
+def _dgrad_xla(g, w):
+    K = w.shape[0]
+    p = K // 2
+    w_t = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2)
+    return jax.lax.conv_general_dilated(
+        g, w_t.astype(g.dtype), (1, 1), ((p, p), (p, p)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+
+
+def _wgrad_xla(x, g, K):
+    p = K // 2
+    lhs = jnp.transpose(x, (3, 1, 2, 0))
+    rhs = jnp.transpose(g, (1, 2, 0, 3))
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, (1, 1), ((p, p), (p, p)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    return jnp.transpose(out, (1, 2, 0, 3))
+
+
+@jax.custom_vjp
+def conv2d_same_tuned(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Stride-1 'same' odd-K cross-correlation, NHWC/HWIO, no bias.
+
+    Only call when use_tuned(...) is True (K*K*Cout <= 128); forward and both
+    gradients then run as single large dot_generals (docstring above)."""
+    return _fwd_dispatch(x, w)
+
+
+# Route eligible forwards through the Pallas VMEM-resident kernel. Off until
+# the kernel's HBM->VMEM DMA handles narrow Cin on real hardware (Mosaic
+# rejects slices whose minor dim isn't lane-aligned: "Slice shape along
+# dimension 3 must be aligned to tiling (128), but is 4" for the SA conv).
+PALLAS_FWD = False
+
+
+def _fwd_dispatch(x, w):
+    K, _, _, Cout = w.shape
+    if PALLAS_FWD:
+        from dcs_net_tpu.ops.pallas_conv import pallas_conv_applicable
+
+        if pallas_conv_applicable(x.shape, K, (1, 1), K // 2, Cout):
+            from dcs_net_tpu.ops.pallas_conv import _conv_fwd_pallas
+
+            return _conv_fwd_pallas(x, w.astype(x.dtype),
+                                    jnp.zeros((Cout,), jnp.float32))
+    # tap-fold re-reads T K*K times: a win only for small kernels (dec6-class
+    # k=3 -> 9 shifted reads of an 18-lane tensor). For k=7 (SA convs) the 49
+    # re-reads cost more than XLA's conv — and unrolling 49 slice+adds per SA
+    # module blows up compile time. There the gains live in the gradients.
+    if K * K * Cout <= 32:
+        return _fwd_tapfold(x, w)
+    return _conv_xla(x, w)
+
+
+def _vjp_fwd(x, w):
+    return _fwd_dispatch(x, w), (x, w)
+
+
+def _vjp_bwd(res, g):
+    x, w = res
+    g = g.astype(x.dtype)
+    dx = _dgrad_patchdot(g, w).astype(x.dtype)
+    dw = _wgrad_patchdot(x, g, w.shape[0]).astype(w.dtype)
+    return dx, dw
+
+
+conv2d_same_tuned.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---- strided conv with a phase-decomposed input gradient --------------------
+#
+# The encoder's strided convs have tiny Cin (enc0: 2) so their INPUT gradient
+# is the degenerate direction: XLA lowers dx = conv(lhs_dilated(g), flip(w)^T)
+# with K*K*Cout contraction onto near-empty MXU tiles (profiled: enc0 dgrad
+# 1.09 ms, enc1 0.55, enc2 0.40 per step). Decompose dx by output phase
+# (h mod s_h, w mod s_w): each phase is a STRIDE-1 correlation of g with the
+# matching sub-kernel of w — exactly the degenerate-shape class the tuned
+# machinery above handles — and the phases interleave back with one reshape.
+
+
+def _phase_taps(K: int, p: int, s: int, a: int):
+    """Taps kh contributing to output phase a (h ≡ a mod s), as
+    (kernel_rows, o_min): dx_a[h'] = sum_j g[h' + o_min + j] * w[kh(j)],
+    kh(j) = a + p - s*(o_min + j)."""
+    taps = [(kh, (a + p - kh) // s) for kh in range(K)
+            if (a + p - kh) % s == 0]
+    if not taps:
+        return [], 0
+    offs = sorted(o for _, o in taps)
+    o_min = offs[0]
+    assert offs == list(range(o_min, o_min + len(offs))), "non-contiguous taps"
+    kh_by_j = {o: kh for kh, o in taps}
+    return [kh_by_j[o_min + j] for j in range(len(taps))], o_min
+
+
+def _corr_general(g, kern, pads):
+    """Stride-1 VALID correlation of pre-padded g with kern (nh, nw, ci, co);
+    pads = ((plh, prh), (plw, prw)) applied to g first. Routed through the
+    tap-fold dot when the packed lane count is small, else lax conv."""
+    nh, nw, _, co = kern.shape
+    gp = jnp.pad(g, ((0, 0), pads[0], pads[1], (0, 0)))
+    if nh * nw * co <= 32:
+        B = g.shape[0]
+        HO = gp.shape[1] - nh + 1
+        WO = gp.shape[2] - nw + 1
+        w2 = jnp.transpose(kern, (2, 0, 1, 3)).reshape(
+            g.shape[-1], nh * nw * co).astype(g.dtype)
+        t = jax.lax.dot_general(gp, w2, (((3,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        t = t.astype(g.dtype)
+        acc = jnp.zeros((B, HO, WO, co), jnp.float32)
+        for jh in range(nh):
+            for jw in range(nw):
+                tap = jh * nw + jw
+                acc = acc + _f32(jax.lax.slice(
+                    t, (0, jh, jw, tap * co),
+                    (B, jh + HO, jw + WO, (tap + 1) * co)))
+        return acc
+    return jax.lax.conv_general_dilated(
+        gp, kern.astype(g.dtype), (1, 1), ((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+
+
+def _dgrad_strided_phase(g, w, stride, padding, x_shape):
+    """dx for a strided 'conv2d(x, w, stride, pad)' via per-phase stride-1
+    correlations. g: (B, HO, WO, Cout); returns (B, H, W, Cin) f32."""
+    K = w.shape[0]
+    Cin = w.shape[2]
+    s_h, s_w = stride
+    p = padding
+    B, H, W, _ = x_shape
+    HO, WO = g.shape[1], g.shape[2]
+    rows = []
+    for a in range(s_h):
+        cols = []
+        kh_js, oh_min = _phase_taps(K, p, s_h, a)
+        for b in range(s_w):
+            kw_js, ow_min = _phase_taps(K, p, s_w, b)
+            Ha = -(-(H - a) // s_h)   # ceil((H-a)/s_h): rows in this phase
+            Wb = -(-(W - b) // s_w)
+            if not kh_js or not kw_js:
+                cols.append(jnp.zeros((B, Ha, Wb, Cin), jnp.float32))
+                continue
+            # dx_ab[h'] needs g[h' + oh_min .. h' + oh_min + nh - 1]
+            nh, nw = len(kh_js), len(kw_js)
+            plh = max(-oh_min, 0)
+            prh = max(Ha - 1 + oh_min + nh - 1 - (HO - 1), 0)
+            plw = max(-ow_min, 0)
+            prw = max(Wb - 1 + ow_min + nw - 1 - (WO - 1), 0)
+            # also trim when o_min > 0 (skip leading g rows)
+            g_ab = g
+            if oh_min > 0:
+                g_ab = jax.lax.slice_in_dim(g_ab, oh_min, HO, axis=1)
+            if ow_min > 0:
+                g_ab = jax.lax.slice_in_dim(g_ab, ow_min, WO, axis=2)
+            kern = w[jnp.ix_(jnp.asarray(kh_js), jnp.asarray(kw_js))]
+            kern = jnp.transpose(kern, (0, 1, 3, 2))  # (nh, nw, co, ci)
+            dx_ab = _corr_general(g_ab, kern, ((plh, prh), (plw, prw)))
+            cols.append(dx_ab[:, :Ha, :Wb])
+        rows.append(cols)
+    # interleave phases: (B, Ha, s_w, Wb, Cin) ... -> (B, H, W, Cin).
+    # Phases can have unequal sizes when H % s != 0, so place by dynamic
+    # update on a strided view instead: build via concatenate-of-stacks only
+    # when uniform, else scatter into zeros.
+    if H % s_h == 0 and W % s_w == 0:
+        # (s_h, s_w, B, Ha, Wb, C) -> (B, Ha, s_h, Wb, s_w, C) -> (B,H,W,C)
+        ph = jnp.stack([jnp.stack(c, 0) for c in rows], 0)
+        ph = jnp.transpose(ph, (2, 3, 0, 4, 1, 5))
+        return ph.reshape(B, H, W, Cin)
+    out = jnp.zeros((B, H, W, Cin), jnp.float32)
+    for a in range(s_h):
+        for b in range(s_w):
+            out = out.at[:, a::s_h, b::s_w].set(rows[a][b])
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def conv2d_strided_tuned(x: jnp.ndarray, w: jnp.ndarray,
+                         stride: Tuple[int, int], padding: int) -> jnp.ndarray:
+    """Strided conv (torch Conv2d semantics) whose dgrad runs phase-decomposed
+    (docstring above); forward and wgrad stay on XLA (measured near-fine)."""
+    return jax.lax.conv_general_dilated(
+        x, w, stride, ((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _vjp_fwd_strided(x, w, stride, padding):
+    return conv2d_strided_tuned(x, w, stride, padding), (x, w)
+
+
+def _wgrad_xla_strided(x, g, K, stride, padding):
+    p = padding
+    lhs = jnp.transpose(x, (3, 1, 2, 0))
+    rhs = jnp.transpose(g, (1, 2, 0, 3))
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, (1, 1), ((p, p), (p, p)), rhs_dilation=stride,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    # the dilated-rhs conv yields K + s - 1 spatial taps; only the leading K
+    # are real kernel positions
+    return jnp.transpose(out[:, :K, :K], (1, 2, 0, 3))
+
+
+def _vjp_bwd_strided(stride, padding, res, g):
+    x, w = res
+    g = g.astype(x.dtype)
+    dx = _dgrad_strided_phase(g, w, stride, padding, x.shape).astype(x.dtype)
+    dw = _wgrad_xla_strided(x, g, w.shape[0], stride, padding).astype(w.dtype)
+    return dx, dw
+
+
+conv2d_strided_tuned.defvjp(_vjp_fwd_strided, _vjp_bwd_strided)
+
+
+def use_tuned_strided(kernel_size: int, stride: Tuple[int, int], padding: int,
+                      cin: int, cout: int) -> bool:
+    """Phase-dgrad pays off when Cin is small (the dx side is degenerate)."""
+    return (kernel_size % 2 == 1 and padding == kernel_size // 2
+            and stride != (1, 1) and max(stride) <= 2
+            and cin * kernel_size * kernel_size <= 128)
+
+
+def conv2d(x: jnp.ndarray, w: jnp.ndarray, stride: Tuple[int, int],
+           padding: int) -> jnp.ndarray:
+    """Conv with shape-aware dispatch (no bias). Drop-in for the
+    lax.conv_general_dilated calls in ops/real_layers.py /
+    ops/complex_layers.py."""
+    K, _, cin, cout = w.shape
+    if use_tuned(K, stride, padding, cout):
+        return conv2d_same_tuned(x, w)
+    if use_tuned_strided(K, stride, padding, cin, cout):
+        return conv2d_strided_tuned(x, w, stride, padding)
+    return jax.lax.conv_general_dilated(
+        x, w, stride, ((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))

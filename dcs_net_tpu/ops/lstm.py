@@ -44,15 +44,30 @@ def _mm(a: jnp.ndarray, b: jnp.ndarray, dt: jnp.dtype) -> jnp.ndarray:
     ).astype(jnp.float32)
 
 
-def _lstm_scan(xp: jnp.ndarray, w_hh: jnp.ndarray, h0: jnp.ndarray,
-               c0: jnp.ndarray, reverse: bool,
-               dt: jnp.dtype = jnp.float32) -> Tuple[jnp.ndarray, State]:
-    """xp: (T, B, 4H) precomputed input projections; returns ((T, B, H), (h, c))."""
+def _lstm_scan_multi(xp: jnp.ndarray, w_hh: jnp.ndarray, h0: jnp.ndarray,
+                     c0: jnp.ndarray,
+                     dt: jnp.dtype = jnp.float32) -> Tuple[jnp.ndarray, State]:
+    """ONE scan over D direction-heads at once.
+
+    xp: (T, D, B, 4H) precomputed input projections — the reverse head's
+    sequence pre-flipped so every head scans forward; w_hh: (D, H, 4H);
+    h0/c0: (D, B, H). Returns ((T, D, B, H), (h, c)).
+
+    Batching the directions into a single while-loop halves the serial scan
+    count (the device profile showed ~2 ms/step of while overhead across 8+
+    separate scans) and feeds the MXU a D-batched recurrent matmul instead
+    of D tiny ones.
+    """
     w_hh = w_hh.astype(dt)
 
     def step(carry, xt):
         h, c = carry
-        gates = xt + _mm(h, w_hh, dt)
+        # (D, B, H) x (D, H, 4H) batched over the head axis
+        rec = jax.lax.dot_general(
+            h.astype(dt), w_hh,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        ).astype(jnp.float32)
+        gates = xt + rec
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         i = jax.nn.sigmoid(i)
         f = jax.nn.sigmoid(f)
@@ -62,7 +77,7 @@ def _lstm_scan(xp: jnp.ndarray, w_hh: jnp.ndarray, h0: jnp.ndarray,
         h = o * jnp.tanh(c)
         return (h, c), h
 
-    (h_f, c_f), hs = jax.lax.scan(step, (h0, c0), xp, reverse=reverse)
+    (h_f, c_f), hs = jax.lax.scan(step, (h0, c0), xp)
     return hs, (h_f, c_f)
 
 
@@ -99,23 +114,32 @@ class LSTM(nn.Module):
         h_out, c_out = [], []
         for layer in range(self.num_layers):
             in_features = layer_in.shape[-1]
-            dir_outs = []
+            ws_ih, ws_hh, bs = [], [], []
             for d in range(D):
                 sfx = f"l{layer}" + ("_reverse" if d == 1 else "")
-                w_ih = self.param(f"w_ih_{sfx}", u, (in_features, 4 * H))
-                w_hh = self.param(f"w_hh_{sfx}", u, (H, 4 * H))
-                b_ih = self.param(f"b_ih_{sfx}", u, (4 * H,))
-                b_hh = self.param(f"b_hh_{sfx}", u, (4 * H,))
-                # one big MXU matmul for the whole sequence
-                xp = _mm(layer_in, w_ih, self.dtype) + (b_ih + b_hh)  # (B, T, 4H)
-                xp = jnp.swapaxes(xp, 0, 1)               # (T, B, 4H)
-                idx = layer * D + d
-                hs, (h_f, c_f) = _lstm_scan(xp, w_hh, h0[idx], c0[idx],
-                                            reverse=(d == 1), dt=self.dtype)
-                dir_outs.append(jnp.swapaxes(hs, 0, 1))   # (B, T, H)
-                h_out.append(h_f)
-                c_out.append(c_f)
-            layer_in = jnp.concatenate(dir_outs, axis=-1) if D == 2 else dir_outs[0]
+                ws_ih.append(self.param(f"w_ih_{sfx}", u, (in_features, 4 * H)))
+                ws_hh.append(self.param(f"w_hh_{sfx}", u, (H, 4 * H)))
+                bs.append(self.param(f"b_ih_{sfx}", u, (4 * H,))
+                          + self.param(f"b_hh_{sfx}", u, (4 * H,)))
+            # ONE MXU matmul for all timesteps and both directions:
+            # (B, T, in) @ (in, D*4H)
+            xp = _mm(layer_in, jnp.concatenate(ws_ih, axis=1), self.dtype)
+            xp = xp.reshape(B, T, D, 4 * H) + jnp.stack(bs)
+            xp = jnp.transpose(xp, (1, 2, 0, 3))          # (T, D, B, 4H)
+            if D == 2:  # reverse head scans its sequence back-to-front
+                xp = jnp.stack([xp[:, 0], jnp.flip(xp[:, 1], axis=0)], axis=1)
+            hs, (h_f, c_f) = _lstm_scan_multi(
+                xp, jnp.stack(ws_hh),
+                h0[layer * D:(layer + 1) * D], c0[layer * D:(layer + 1) * D],
+                dt=self.dtype)                             # hs (T, D, B, H)
+            fwd = jnp.transpose(hs[:, 0], (1, 0, 2))       # (B, T, H)
+            if D == 2:
+                rev = jnp.transpose(jnp.flip(hs[:, 1], axis=0), (1, 0, 2))
+                layer_in = jnp.concatenate([fwd, rev], axis=-1)
+            else:
+                layer_in = fwd
+            h_out.extend(h_f)
+            c_out.extend(c_f)
         # gate math runs in f32 (stability); hand back the caller's dtype
         return layer_in.astype(x.dtype), (jnp.stack(h_out), jnp.stack(c_out))
 

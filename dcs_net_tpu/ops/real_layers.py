@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from dcs_net_tpu.ops import conv_engine as ce
 from dcs_net_tpu.ops import initializers as init
 
 Pair = Tuple[int, int]
@@ -50,12 +51,10 @@ class Conv2d(nn.Module):
         # operands AND output in self.dtype (the MXU accumulates in f32
         # internally regardless; activations staying bf16 halves HBM traffic,
         # the actual bottleneck). Single-dtype keeps the conv VJP well-typed.
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), kernel.astype(self.dtype),
-            window_strides=self.stride,
-            padding=((p, p), (p, p)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        # conv_engine reroutes degenerate-channel shapes to dot_general
+        # reformulations (near-roofline; BASELINE.md per-op table).
+        y = ce.conv2d(x.astype(self.dtype), kernel.astype(self.dtype),
+                      self.stride, p)
         if self.use_bias:
             bias = self.param("bias", init.torch_bias_uniform(fan_in), (self.features,))
             y = y + bias.astype(y.dtype)
@@ -90,13 +89,18 @@ class ConvTranspose2d(nn.Module):
             (kh, kw, cin, self.features))
         p = self.padding
         flipped = jnp.flip(kernel, axis=(0, 1)).astype(self.dtype)
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), flipped,
-            window_strides=(1, 1),
-            padding=((kh - 1 - p, kh - 1 - p), (kw - 1 - p, kw - 1 - p)),
-            lhs_dilation=self.stride,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if self.stride == (1, 1):
+            # stride-1 convT == plain conv with flipped kernel, padding
+            # k-1-p — the engine handles the degenerate decoder shapes
+            y = ce.conv2d(x.astype(self.dtype), flipped, (1, 1), kh - 1 - p)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), flipped,
+                window_strides=(1, 1),
+                padding=((kh - 1 - p, kh - 1 - p), (kw - 1 - p, kw - 1 - p)),
+                lhs_dilation=self.stride,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             bias = self.param("bias", init.torch_bias_uniform(fan_in), (self.features,))
             y = y + bias.astype(y.dtype)

@@ -81,6 +81,15 @@ class Trainer:
             except Exception:
                 pesq_fn = None
         self.pesq_fn = pesq_fn
+        # honest labeling: the native module is an ESTIMATOR, not P.862 —
+        # its values are not comparable to published PESQ numbers
+        # (docs/PESQ_PARITY.md). A real wheel, if importable, keeps "pesq".
+        try:
+            from dcs_net_tpu.metrics.pesq import is_estimate
+
+            self.pesq_key = "pesq_est" if is_estimate() else "pesq"
+        except Exception:
+            self.pesq_key = "pesq_est"
         self._train_step = pmesh.make_dp_train_step(self.model, cfg, self.tx, self.mesh)
         self._scan_k = max(cfg.run.steps_per_dispatch, 1)
         self._scanned_step = (
@@ -236,7 +245,7 @@ class Trainer:
 
             os.makedirs(os.path.dirname(per_utterance_csv) or ".", exist_ok=True)
             csv_f = open(per_utterance_csv, "w")
-            cols = "id,start,stoi,pesq,si_sdr"
+            cols = f"id,start,stoi,{self.pesq_key},si_sdr"
             if composite:
                 cols += "," + ",".join(comp_cols)
             csv_f.write(cols + "\n")
@@ -271,7 +280,7 @@ class Trainer:
                     agg.setdefault("stoi", []).append(
                         calc_metric(clean, pred, cfg.data.sr, stoi_metric))
                     if self.pesq_fn is not None:
-                        agg.setdefault("pesq", []).append(
+                        agg.setdefault(self.pesq_key, []).append(
                             calc_metric(clean, pred, cfg.data.sr, self.pesq_fn))
                 else:
                     # per-utterance path: compute each metric ONCE per
@@ -315,7 +324,7 @@ class Trainer:
 
                     agg.setdefault("stoi", []).append(_nan_drop_mean(b_stoi))
                     if self.pesq_fn is not None:
-                        agg.setdefault("pesq", []).append(
+                        agg.setdefault(self.pesq_key, []).append(
                             _nan_drop_mean(b_pesq))
             n_seen += 1
             if rng.integers(n_seen) == 0:  # reservoir: keep with prob 1/n

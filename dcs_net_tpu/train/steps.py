@@ -177,10 +177,13 @@ def make_train_step(model, cfg: Config, tx):
 
         gnorm = global_grad_norm(grads)
         if cfg.optim.nan_skip:
-            # gate on loss AND gradient finiteness: a NaN grad under a finite
-            # loss would poison the params while the loss-only gate (the
-            # reference's, r_network.py:203-207) keeps "skipping" forever
-            bad = ~jnp.isfinite(loss) | ~jnp.isfinite(gnorm)
+            # gate on loss AND (unless Quirks.nan_gate_loss_only) gradient
+            # finiteness: a NaN grad under a finite loss would poison the
+            # params while the reference's loss-only gate
+            # (r_network.py:203-207) keeps "skipping" forever
+            bad = ~jnp.isfinite(loss)
+            if not cfg.quirks.nan_gate_loss_only:
+                bad = bad | ~jnp.isfinite(gnorm)
             new_state = jax.tree.map(
                 lambda old, new: jnp.where(bad, old, new), state, new_state)
             losses = dict(losses, skipped=bad.astype(jnp.float32))

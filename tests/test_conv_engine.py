@@ -1,0 +1,204 @@
+"""Parity of the shape-aware conv engine (ops/conv_engine.py) and the Pallas
+tap-packed kernel (ops/pallas_conv.py, interpret mode) against
+lax.conv_general_dilated, forward AND both gradients.
+
+Shapes mirror the degenerate layers the engine exists for: the dec6 convT
+(32->2 k3), the CBAM spatial-attention conv (4->2 k7), and the real-variant
+dec6 (16->1 k3).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dcs_net_tpu.ops import conv_engine as ce
+
+SHAPES = [
+    # (B, H, W, Cin), Cout, K   — all stride-1 'same'
+    ((2, 32, 24, 32), 2, 3),   # dec6-class
+    ((2, 24, 16, 4), 2, 7),    # spatial-attention-class
+    ((2, 16, 16, 16), 1, 3),   # real dec6
+    ((1, 8, 8, 3), 5, 5),      # odd sizes
+]
+
+
+def _ref_conv(x, w):
+    p = w.shape[0] // 2
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((p, p), (p, p)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _data(shape, cout, k, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal(
+        (k, k, shape[-1], cout)).astype(np.float32) * 0.1)
+    return x, w
+
+
+def test_patch_feature_order():
+    """_patches orders features TAP-major — index (kh*K + kw)*C + c — the
+    layout _dgrad_patchdot/_wgrad_patchdot rely on."""
+    x = jnp.arange(2 * 5 * 6 * 3, dtype=jnp.float32).reshape(2, 5, 6, 3)
+    K = 3
+    p = ce._patches(x, K)
+    assert p.shape == (2, 5, 6, 3 * K * K)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    for c in range(3):
+        for kh in range(K):
+            for kw in range(K):
+                feat = (kh * K + kw) * 3 + c
+                np.testing.assert_array_equal(
+                    np.asarray(p[0, 2, 3, feat]),
+                    np.asarray(xp[0, 2 + kh, 3 + kw, c]))
+
+
+@pytest.mark.parametrize("shape,cout,k", SHAPES)
+def test_forward_parity(shape, cout, k):
+    x, w = _data(shape, cout, k)
+    assert ce.use_tuned(k, (1, 1), k // 2, cout)
+    got = ce.conv2d_same_tuned(x, w)
+    ref = _ref_conv(x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("shape,cout,k", SHAPES)
+def test_gradient_parity(shape, cout, k):
+    x, w = _data(shape, cout, k, seed=1)
+    cot = jnp.asarray(np.random.default_rng(2).standard_normal(
+        _ref_conv(x, w).shape).astype(np.float32))
+
+    def f_tuned(x, w):
+        return jnp.sum(ce.conv2d_same_tuned(x, w) * cot)
+
+    def f_ref(x, w):
+        return jnp.sum(_ref_conv(x, w) * cot)
+
+    gx, gw = jax.grad(f_tuned, argnums=(0, 1))(x, w)
+    rx, rw = jax.grad(f_ref, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_gradient_parity_bf16():
+    """The production path feeds bf16 operands; gradients must be well-typed
+    (bf16 cotangents back) and close to the f32 oracle at bf16 tolerance."""
+    x, w = _data((2, 16, 16, 8), 2, 3, seed=3)
+    xb, wb = x.astype(jnp.bfloat16), w.astype(jnp.bfloat16)
+
+    def f(a, b):
+        return jnp.sum(ce.conv2d_same_tuned(a, b).astype(jnp.float32))
+
+    gx, gw = jax.grad(f, argnums=(0, 1))(xb, wb)
+    assert gx.dtype == jnp.bfloat16 and gw.dtype == jnp.bfloat16
+    rx, rw = jax.grad(lambda a, b: jnp.sum(_ref_conv(a, b)), (0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx, np.float32), np.asarray(rx),
+                               rtol=0.05, atol=0.05)
+    np.testing.assert_allclose(np.asarray(gw, np.float32), np.asarray(rw),
+                               rtol=0.05, atol=0.5)
+
+
+def test_use_tuned_predicate():
+    assert ce.use_tuned(3, (1, 1), 1, 2)
+    assert ce.use_tuned(7, (1, 1), 3, 2)        # 98 lanes
+    assert ce.use_tuned(3, (1, 1), 1, 16)       # 144 lanes (dec5-class)
+    assert not ce.use_tuned(3, (1, 1), 1, 32)   # 288 lanes
+    assert not ce.use_tuned(3, (2, 1), 1, 2)    # strided
+    assert not ce.use_tuned(1, (1, 1), 0, 2)    # 1x1 is already a dot
+    assert not ce.use_tuned(3, (1, 1), 0, 2)    # not 'same'
+    assert not ce.use_tuned(4, (1, 1), 2, 2)    # even kernel
+
+
+def test_dispatch_wrapper_matches_xla():
+    """ce.conv2d == lax conv for tuned AND untuned shapes."""
+    for shape, cout, k, stride in [((2, 16, 16, 8), 2, 3, (1, 1)),
+                                   ((2, 16, 16, 8), 32, 3, (1, 1)),
+                                   ((2, 32, 32, 4), 16, 7, (2, 2))]:
+        x, w = _data(shape, cout, k, seed=4)
+        p = k // 2
+        got = ce.conv2d(x, w, stride, p)
+        ref = jax.lax.conv_general_dilated(
+            x, w, stride, ((p, p), (p, p)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+
+# ---- Pallas kernel (interpret mode on CPU) --------------------------------
+
+def test_pallas_forward_interpret_parity():
+    from dcs_net_tpu.ops.pallas_conv import _conv_fwd_pallas
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 16, 24, 32)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 32, 2)).astype(np.float32) * .1)
+    b = jnp.asarray(rng.standard_normal((2,)).astype(np.float32))
+    got = _conv_fwd_pallas(x, w, b, interpret=True)
+    ref = _ref_conv(x, w) + b
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_vjp_components():
+    """conv2d_same_small_cout's hand-written bwd (XLA dgrad/wgrad convs)
+    against autodiff of the reference conv."""
+    from dcs_net_tpu.ops.pallas_conv import _dgrad, _wgrad
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 8)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 8, 2)).astype(np.float32) * .1)
+    g = jnp.asarray(rng.standard_normal((2, 16, 16, 2)).astype(np.float32))
+    rx, rw = jax.vjp(lambda a, b: _ref_conv(a, b), x, w)[1](g)
+    np.testing.assert_allclose(np.asarray(_dgrad(g, w)), np.asarray(rx),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(_wgrad(g, x, 3)), np.asarray(rw),
+                               rtol=1e-4, atol=1e-4)
+
+
+# ---- strided conv with phase-decomposed dgrad ------------------------------
+
+STRIDED = [
+    # (B, H, W, Cin), Cout, K, stride — enc0/enc1-class shapes
+    ((2, 32, 32, 2), 16, 7, (2, 2)),
+    ((2, 32, 24, 2), 8, 7, (2, 1)),
+    ((2, 16, 16, 4), 8, 5, (2, 2)),
+    ((1, 15, 13, 2), 6, 3, (2, 2)),   # H, W not divisible by stride
+    ((2, 16, 16, 3), 8, 3, (2, 1)),
+]
+
+
+@pytest.mark.parametrize("shape,cout,k,stride", STRIDED)
+def test_strided_gradient_parity(shape, cout, k, stride):
+    x, w = _data(shape, cout, k, seed=7)
+    p = k // 2
+    assert ce.use_tuned_strided(k, stride, p, shape[-1], cout)
+
+    def ref(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, stride, ((p, p), (p, p)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    cot = jnp.asarray(np.random.default_rng(8).standard_normal(
+        ref(x, w).shape).astype(np.float32))
+
+    def f_tuned(x, w):
+        return jnp.sum(ce.conv2d_strided_tuned(x, w, stride, p) * cot)
+
+    def f_ref(x, w):
+        return jnp.sum(ref(x, w) * cot)
+
+    np.testing.assert_allclose(
+        np.asarray(ce.conv2d_strided_tuned(x, w, stride, p)),
+        np.asarray(ref(x, w)), rtol=1e-4, atol=1e-4)
+    gx, gw = jax.grad(f_tuned, argnums=(0, 1))(x, w)
+    rx, rw = jax.grad(f_ref, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
+                               rtol=1e-4, atol=1e-4)

@@ -194,3 +194,34 @@ def test_enhance_full_vs_streaming(data_root):
     a, b = np.asarray(full)[0], np.asarray(stream)[0]
     corr = np.corrcoef(a, b)[0, 1]
     assert corr > 0.95, f"stream/full correlation {corr}"
+
+
+def test_checkpoint_format_version_guard(tmp_path):
+    """Format-version marker round-trips; a version bump refuses restore with
+    a migration message, and restore_raw stays available as the escape hatch
+    (ADVICE r2 item 1: the optax.flatten change silently broke old opt_state
+    layouts — now it fails loudly)."""
+    import jax.numpy as jnp
+
+    from dcs_net_tpu.train import checkpoint as C
+    from dcs_net_tpu.train.steps import TrainState
+
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params={"w": jnp.ones(3)},
+                       batch_stats={"bn": jnp.ones(2)},
+                       opt_state={"m": jnp.zeros(3)})
+    mgr = C.CheckpointManager(str(tmp_path / "ckpt_v"))
+    mgr.save(1, state)
+    restored, _ = mgr.restore(C.abstract_like(state))
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                  np.ones(3))
+    orig = C.FORMAT_VERSION
+    try:
+        C.FORMAT_VERSION = orig + 1
+        with pytest.raises(C.CheckpointIncompatible, match="restore_raw"):
+            mgr.restore(C.abstract_like(state))
+    finally:
+        C.FORMAT_VERSION = orig
+    raw = mgr.restore_raw()
+    assert "params" in raw["state"]
+    mgr.close()

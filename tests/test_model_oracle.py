@@ -239,6 +239,11 @@ def test_composed_gradients_and_adam_step(oracle):
     separate concern (covered by the train-forward test above); here the
     comparison isolates the backward graph."""
     net, model, variables, x_t = oracle
+    # re-port batch_stats: the train-forward test above mutated torch's
+    # running stats in place, and eval mode reads them — both sides must see
+    # the same values regardless of test execution order
+    _, stats_now = port_weights(net)
+    variables = {"params": variables["params"], "batch_stats": stats_now}
     tgt_t = torch.rand(B, F, T, generator=torch.Generator().manual_seed(9))
     tgt = _t2j(tgt_t)
 
