@@ -144,13 +144,47 @@ class LSTM(nn.Module):
         return layer_in.astype(x.dtype), (jnp.stack(h_out), jnp.stack(c_out))
 
 
+class _LSTMParams(nn.Module):
+    """Declares one torch-layout LSTM's parameters (w_ih_l{k}[_reverse] ...)
+    under this module's name scope and returns them — lets ComplexLSTM keep
+    the checkpoint-compatible real_lstm/imag_lstm param tree while executing
+    both LSTMs inside ONE joint scan."""
+
+    hidden_size: int
+    num_layers: int
+    bidirectional: bool
+
+    @nn.compact
+    def __call__(self, in_features_first: int):
+        H = self.hidden_size
+        D = 2 if self.bidirectional else 1
+        u = lstm_uniform(H)
+        out = []
+        for layer in range(self.num_layers):
+            fin = in_features_first if layer == 0 else H * D
+            per_dir = []
+            for d in range(D):
+                sfx = f"l{layer}" + ("_reverse" if d == 1 else "")
+                per_dir.append((
+                    self.param(f"w_ih_{sfx}", u, (fin, 4 * H)),
+                    self.param(f"w_hh_{sfx}", u, (H, 4 * H)),
+                    self.param(f"b_ih_{sfx}", u, (4 * H,))
+                    + self.param(f"b_hh_{sfx}", u, (4 * H,))))
+            out.append(per_dir)
+        return out
+
+
 class ComplexLSTM(nn.Module):
     """The reference ComplexLSTM (/root/reference/c_network.py:12-51):
     out = (L_r(x_r) - L_i(x_i)) + i (L_r(x_i) + L_i(x_r)).
 
-    Each real LSTM runs once on the 2B-stacked (x_r, x_i) batch. The optional
-    ``state`` carries both LSTMs' states on that stacked batch (used by the
-    streaming enhancement path)."""
+    Execution is ONE lax.scan per layer covering all four heads
+    (real/imag LSTM x fwd/rev direction) on the 2B-stacked (x_r, x_i) batch:
+    the serial while-loop count drops 4x vs running the sub-LSTMs separately
+    and the recurrent matmul feeds the MXU a 4-head batch. The optional
+    ``state`` carries both LSTMs' states on the stacked batch (used by the
+    streaming enhancement path); param tree and numerics are identical to two
+    independent LSTM modules named real_lstm / imag_lstm."""
 
     hidden_size: int
     num_layers: int = 1
@@ -164,14 +198,59 @@ class ComplexLSTM(nn.Module):
         state: Optional[Tuple[State, State]] = None,
     ) -> Tuple[CArray, Tuple[State, State]]:
         stacked = jnp.concatenate([x.re, x.im], axis=0)  # (2B, T, F)
-        lstm_r = LSTM(self.hidden_size, self.num_layers, self.bidirectional,
-                      dtype=self.dtype, name="real_lstm")
-        lstm_i = LSTM(self.hidden_size, self.num_layers, self.bidirectional,
-                      dtype=self.dtype, name="imag_lstm")
-        sr, si = state if state is not None else (None, None)
-        out_r, sr2 = lstm_r(stacked, sr)   # [L_r(x_r); L_r(x_i)]
-        out_i, si2 = lstm_i(stacked, si)   # [L_i(x_r); L_i(x_i)]
+        B2, T, F = stacked.shape
+        H, L = self.hidden_size, self.num_layers
+        D = 2 if self.bidirectional else 1
+        pr = _LSTMParams(H, L, self.bidirectional, name="real_lstm")(F)
+        pi = _LSTMParams(H, L, self.bidirectional, name="imag_lstm")(F)
+
+        def init_state(s):
+            if s is None:
+                z = jnp.zeros((L * D, B2, H), jnp.float32)
+                return z, jnp.zeros_like(z)
+            return s[0].astype(jnp.float32), s[1].astype(jnp.float32)
+
+        h0r, c0r = init_state(None if state is None else state[0])
+        h0i, c0i = init_state(None if state is None else state[1])
+
+        in_r = in_i = stacked
+        hr_out, cr_out, hi_out, ci_out = [], [], [], []
+        for layer in range(L):
+            # heads: [r x dirs..., i x dirs...] — each head's input projection
+            # from its own source, all heads in one scan
+            xps, whhs = [], []
+            for params, src in ((pr[layer], in_r), (pi[layer], in_i)):
+                for d, (w_ih, w_hh, b) in enumerate(params):
+                    xp = _mm(src, w_ih, self.dtype) + b   # (2B, T, 4H)
+                    xp = jnp.swapaxes(xp, 0, 1)           # (T, 2B, 4H)
+                    if d == 1:
+                        xp = jnp.flip(xp, axis=0)
+                    xps.append(xp)
+                    whhs.append(w_hh)
+            h0 = jnp.concatenate([h0r[layer * D:(layer + 1) * D],
+                                  h0i[layer * D:(layer + 1) * D]], axis=0)
+            c0 = jnp.concatenate([c0r[layer * D:(layer + 1) * D],
+                                  c0i[layer * D:(layer + 1) * D]], axis=0)
+            hs, (h_f, c_f) = _lstm_scan_multi(
+                jnp.stack(xps, axis=1), jnp.stack(whhs), h0, c0,
+                dt=self.dtype)                             # hs (T, 2D, 2B, H)
+
+            def head_out(g):
+                fwd = jnp.transpose(hs[:, g * D], (1, 0, 2))
+                if D == 2:
+                    rev = jnp.transpose(jnp.flip(hs[:, g * D + 1], 0), (1, 0, 2))
+                    return jnp.concatenate([fwd, rev], axis=-1)
+                return fwd
+
+            in_r, in_i = head_out(0), head_out(1)
+            hr_out.extend(h_f[:D]); cr_out.extend(c_f[:D])
+            hi_out.extend(h_f[D:]); ci_out.extend(c_f[D:])
+
+        out_r = in_r.astype(x.re.dtype)
+        out_i = in_i.astype(x.re.dtype)
         B = x.re.shape[0]
         r2r, r2i = out_r[:B], out_r[B:]
         i2r, i2i = out_i[:B], out_i[B:]
+        sr2 = (jnp.stack(hr_out), jnp.stack(cr_out))
+        si2 = (jnp.stack(hi_out), jnp.stack(ci_out))
         return CArray(r2r - i2i, r2i + i2r), (sr2, si2)

@@ -22,6 +22,7 @@ def main() -> None:
     nproc = int(sys.argv[2])
     port = sys.argv[3]
     out_path = sys.argv[4]
+    data_root = sys.argv[5] if len(sys.argv) > 5 else None
 
     n_local_dev = 8 // nproc
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -103,6 +104,32 @@ def main() -> None:
         "param_l1": param_l1,
         "allreduced": red["m"],
     }
+
+    if data_root is not None:
+        # the REAL loader path (VERDICT r2 task 3): make_loaders must hand
+        # each host a LOCAL shard of the GLOBAL cfg.data.batch_size, and a
+        # train epoch through those loaders must assemble the configured
+        # global batch (Trainer._device_batch + form_global_batch).
+        from dcs_net_tpu.cli.common import make_loaders
+
+        lcfg = cfg.replace(data=cfg.data.__class__(
+            root=data_root, crop_samples=CROP, batch_size=GB, num_workers=1))
+        train_l, val_l, _ = make_loaders(lcfg)
+        expect_local = GB // nproc
+        assert train_l.batch_size == expect_local, (
+            f"host loader batch {train_l.batch_size} != global {GB} / "
+            f"{nproc} hosts")
+        t2 = Trainer(lcfg, use_tensorboard=False, pesq_fn=lambda *a: 0.0)
+        t2.init_state()
+        got = next(iter(train_l.epoch(0)))
+        assert got["noisy"].shape[0] == expect_local
+        dev_batch = t2._device_batch(got)
+        # the assembled global spectrogram batch spans cfg.data.batch_size
+        assert dev_batch.noisy.shape[0] == GB, dev_batch.noisy.shape
+        lm = t2.train_epoch(train_l.epoch(0), epoch=0)
+        result["loader_train_loss"] = lm["loss"]
+        result["loader_local_batch"] = int(train_l.batch_size)
+
     with open(out_path, "w") as f:
         json.dump(result, f)
     if nproc > 1:

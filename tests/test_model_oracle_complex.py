@@ -1,0 +1,406 @@
+"""END-TO-END torch oracle for the COMPLEX family: the composed full-size
+C_NETWORK (/root/reference/c_network.py:87-226) rebuilt in torch from paired
+real modules (complexPyTorch v0.3 semantics — the wheel itself is not
+installable here, so each complex op is reconstructed from its published
+definition: conv/linear as (f_r, f_i) pairs, Trabelsi whitening BN, the
+DeepComplexCRN ComplexLSTM combination, split activations), weights ported
+into the flax DCSNet layout, asserting eval-forward, gradient and
+one-Adam(amsgrad)-step parity.
+
+What this covers that per-layer tests (test_layers/test_lstm) cannot: the
+f-major flatten into the LSTM (c_network.py:200), attention placement and the
+avg+max(==avg) channel-attention sum (c_network.py:64-70), upsample-before-
+convT ordering, concat order (d, skip), and the double-atan2 bound_cRM output
+(network_functions.py:77-89).
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F_t
+
+import jax
+import jax.numpy as jnp
+
+from dcs_net_tpu.core.config import config_for_variant
+from dcs_net_tpu.models.unet import DCSNet
+from dcs_net_tpu.utils.carray import CArray
+
+B, F, T = 2, 256, 64
+CH = [max(c // 2, 1) for c in (1, 16, 32, 64, 128, 256, 256, 256)]
+KE = (7, 7, 5, 5, 3, 3, 3)
+KD = (3, 3, 3, 3, 3, 3, 3)
+STRIDE_E = ((2, 2), (2, 2), (2, 2), (2, 1), (2, 1), (2, 1), (2, 1))
+UPSAMPLE = ((2, 1), (2, 1), (2, 1), (2, 1), (2, 2), (2, 2), (2, 2))
+N_LAYERS = 7
+CA_RED = 16
+SA_K = 7
+ATAN2_EPS = 1e-6
+
+
+def _csplit(fn_r, fn_i, z):
+    """complexPyTorch combination: (f_r + i f_i)(x_r + i x_i)."""
+    return torch.complex(fn_r(z.real) - fn_i(z.imag),
+                         fn_r(z.imag) + fn_i(z.real))
+
+
+class CConv2d(torch.nn.Module):
+    def __init__(self, cin, cout, k, stride=1, padding=0, bias=True):
+        super().__init__()
+        self.conv_r = torch.nn.Conv2d(cin, cout, k, stride, padding, bias=bias)
+        self.conv_i = torch.nn.Conv2d(cin, cout, k, stride, padding, bias=bias)
+
+    def forward(self, z):
+        return _csplit(self.conv_r, self.conv_i, z)
+
+
+class CConvT2d(torch.nn.Module):
+    def __init__(self, cin, cout, k, stride=1, padding=0):
+        super().__init__()
+        self.conv_r = torch.nn.ConvTranspose2d(cin, cout, k, stride, padding)
+        self.conv_i = torch.nn.ConvTranspose2d(cin, cout, k, stride, padding)
+
+    def forward(self, z):
+        return _csplit(self.conv_r, self.conv_i, z)
+
+
+class CLinear(torch.nn.Module):
+    def __init__(self, fin, fout):
+        super().__init__()
+        self.lin_r = torch.nn.Linear(fin, fout)
+        self.lin_i = torch.nn.Linear(fin, fout)
+
+    def forward(self, z):
+        return _csplit(self.lin_r, self.lin_i, z)
+
+
+class CBatchNorm2d(torch.nn.Module):
+    """Trabelsi whitening complex BN (eval mode; running stats at init values
+    as used by the parity runs). Stats layout mirrors complexPyTorch: running
+    complex mean + covariance triple (Vrr, Vii, Vri), Gamma 2x2 + complex
+    beta, diagonal + eps before the 2x2 inverse sqrt."""
+
+    def __init__(self, c, eps=1e-5):
+        super().__init__()
+        s = 1.0 / np.sqrt(2.0)
+        self.eps = eps
+        self.gamma_rr = torch.nn.Parameter(torch.full((c,), s))
+        self.gamma_ii = torch.nn.Parameter(torch.full((c,), s))
+        self.gamma_ri = torch.nn.Parameter(torch.zeros(c))
+        self.beta_r = torch.nn.Parameter(torch.zeros(c))
+        self.beta_i = torch.nn.Parameter(torch.zeros(c))
+        self.register_buffer("mean_r", torch.zeros(c))
+        self.register_buffer("mean_i", torch.zeros(c))
+        self.register_buffer("vrr", torch.full((c,), s))
+        self.register_buffer("vii", torch.full((c,), s))
+        self.register_buffer("vri", torch.zeros(c))
+
+    def forward(self, z):  # (B, C, H, W) complex, eval mode
+        sh = (1, -1, 1, 1)
+        xr = z.real - self.mean_r.view(sh)
+        xi = z.imag - self.mean_i.view(sh)
+        vrr = (self.vrr + self.eps).view(sh)
+        vii = (self.vii + self.eps).view(sh)
+        vri = self.vri.view(sh)
+        det = vrr * vii - vri * vri
+        s = torch.sqrt(det)
+        t = torch.sqrt(vrr + vii + 2.0 * s)
+        inv_st = 1.0 / (s * t)
+        rrr = (vii + s) * inv_st
+        rii = (vrr + s) * inv_st
+        rri = -vri * inv_st
+        wr = rrr * xr + rri * xi
+        wi = rri * xr + rii * xi
+        out_r = (self.gamma_rr.view(sh) * wr + self.gamma_ri.view(sh) * wi
+                 + self.beta_r.view(sh))
+        out_i = (self.gamma_ri.view(sh) * wr + self.gamma_ii.view(sh) * wi
+                 + self.beta_i.view(sh))
+        return torch.complex(out_r, out_i)
+
+
+def _crelu(z):
+    return torch.complex(torch.relu(z.real), torch.relu(z.imag))
+
+
+def _clrelu(z):
+    return torch.complex(F_t.leaky_relu(z.real), F_t.leaky_relu(z.imag))
+
+
+def _csigmoid(z):
+    return torch.complex(torch.sigmoid(z.real), torch.sigmoid(z.imag))
+
+
+class CChannelAttention(torch.nn.Module):
+    """c_network.py:53-70 — note the 'max' pool is an avg pool
+    (network_functions.py:135-138), so out = 2 * fc(avg)."""
+
+    def __init__(self, c, reduction):
+        super().__init__()
+        h = max(c // reduction, 1)
+        self.fc1 = CConv2d(c, h, 1, bias=False)
+        self.fc2 = CConv2d(h, c, 1, bias=False)
+
+    def forward(self, z):
+        def fc(v):
+            return self.fc2(_crelu(self.fc1(v)))
+
+        avg = torch.complex(z.real.mean(dim=(2, 3), keepdim=True),
+                            z.imag.mean(dim=(2, 3), keepdim=True))
+        return _csigmoid(fc(avg) + fc(avg))
+
+
+class CSpatialAttention(torch.nn.Module):
+    """c_network.py:72-84: complex mean over channels; component-wise REAL
+    max over channels; cat; k=7 complex conv; complex sigmoid."""
+
+    def __init__(self, k):
+        super().__init__()
+        self.conv = CConv2d(2, 1, k, padding=k // 2, bias=False)
+
+    def forward(self, z):
+        avg = torch.complex(z.real.mean(dim=1, keepdim=True),
+                            z.imag.mean(dim=1, keepdim=True))
+        mx = torch.complex(z.real.amax(dim=1, keepdim=True),
+                           z.imag.amax(dim=1, keepdim=True))
+        return _csigmoid(self.conv(torch.cat([avg, mx], dim=1)))
+
+
+class TorchCLSTM(torch.nn.Module):
+    """DeepComplexCRN combination (c_network.py:12-51)."""
+
+    def __init__(self, fin, hidden, layers, bidir):
+        super().__init__()
+        self.real_lstm = torch.nn.LSTM(fin, hidden, num_layers=layers,
+                                       bidirectional=bidir, batch_first=True)
+        self.imag_lstm = torch.nn.LSTM(fin, hidden, num_layers=layers,
+                                       bidirectional=bidir, batch_first=True)
+
+    def forward(self, z):
+        r2r = self.real_lstm(z.real)[0]
+        r2i = self.imag_lstm(z.real)[0]
+        i2r = self.real_lstm(z.imag)[0]
+        i2i = self.imag_lstm(z.imag)[0]
+        return torch.complex(r2r - i2i, i2r + r2i)
+
+
+def _bound_crm(z, eps):
+    """network_functions.py:77-89 (double atan2, non-idempotent)."""
+    mag = torch.tanh(torch.abs(z))
+    ph1 = torch.atan2(z.imag, z.real + eps)
+    re1, im1 = mag * torch.cos(ph1), mag * torch.sin(ph1)
+    ph2 = torch.atan2(im1, re1 + eps)
+    return torch.complex(mag * torch.cos(ph2), mag * torch.sin(ph2))
+
+
+class TorchCNet(torch.nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.initial_bn = CBatchNorm2d(1)
+        self.enc_conv = torch.nn.ModuleList()
+        self.enc_bn = torch.nn.ModuleList()
+        for i in range(N_LAYERS):
+            self.enc_conv.append(CConv2d(
+                1 if i == 0 else CH[i], CH[i + 1], KE[i],
+                stride=STRIDE_E[i], padding=KE[i] // 2))
+            self.enc_bn.append(CBatchNorm2d(CH[i + 1]))
+        self.lstm = TorchCLSTM(CH[7], CH[4] // 1, 2, True)
+        self.fc = CLinear(CH[5], CH[5])
+        self.dec = torch.nn.ModuleList()
+        self.dec_bn = torch.nn.ModuleList()
+        self.skip_ca = torch.nn.ModuleList()
+        self.skip_sa = torch.nn.ModuleList()
+        self.dec_ca = torch.nn.ModuleList()
+        self.dec_sa = torch.nn.ModuleList()
+        for i in range(N_LAYERS):
+            cin = CH[N_LAYERS - i]
+            cout = max(CH[N_LAYERS - 1 - i], 1)
+            self.dec.append(CConvT2d(2 * cin, cout, KD[i], 1, KD[i] // 2))
+            last = i == N_LAYERS - 1
+            self.dec_bn.append(None if last else CBatchNorm2d(cout))
+            self.skip_ca.append(CChannelAttention(cin, CA_RED))
+            self.skip_sa.append(CSpatialAttention(SA_K))
+            if not last:
+                self.dec_ca.append(CChannelAttention(cout, CA_RED))
+                self.dec_sa.append(CSpatialAttention(SA_K))
+        for m in self.modules():  # weights_init (c_network.py:174-185)
+            if isinstance(m, (torch.nn.Conv2d, torch.nn.ConvTranspose2d,
+                              torch.nn.Linear)):
+                torch.nn.init.xavier_uniform_(m.weight)
+
+    def forward(self, z):  # z (B, F, T) complex
+        enc_out = [self.initial_bn(z[:, None])]
+        e = enc_out[0]
+        for i in range(N_LAYERS):
+            e = _crelu(self.enc_bn[i](self.enc_conv[i](e)))
+            enc_out.append(e)
+        bsz, c, fp, tp = e.shape
+        seq = torch.flatten(e, 2, 3).permute(0, 2, 1)
+        d = self.fc(self.lstm(seq)).permute(0, 2, 1).reshape(bsz, c, fp, tp)
+        for i in range(N_LAYERS):
+            skip = enc_out[N_LAYERS - i]
+            skip = self.skip_ca[i](skip) * skip
+            skip = self.skip_sa[i](skip) * skip
+            d = torch.cat((d, skip), dim=1)
+            dr = F_t.interpolate(d.real, scale_factor=UPSAMPLE[i],
+                                 mode="nearest")
+            di = F_t.interpolate(d.imag, scale_factor=UPSAMPLE[i],
+                                 mode="nearest")
+            d = self.dec[i](torch.complex(dr, di))
+            if i != N_LAYERS - 1:
+                d = _clrelu(self.dec_bn[i](d))
+                d = d * self.dec_ca[i](d)
+                d = d * self.dec_sa[i](d)
+        return _bound_crm(d[:, 0], ATAN2_EPS)
+
+
+def _t2j(t: torch.Tensor) -> jnp.ndarray:
+    return jnp.asarray(t.detach().numpy().copy())
+
+
+def _cconv_params(m, transpose=False):
+    perm = (2, 3, 0, 1) if transpose else (2, 3, 1, 0)
+    out = {"kernel_r": _t2j(m.conv_r.weight.permute(*perm)),
+           "kernel_i": _t2j(m.conv_i.weight.permute(*perm))}
+    if m.conv_r.bias is not None:
+        out["bias_r"] = _t2j(m.conv_r.bias)
+        out["bias_i"] = _t2j(m.conv_i.bias)
+    return out
+
+
+def _cbn_params(m):
+    return ({"gamma_rr": _t2j(m.gamma_rr), "gamma_ii": _t2j(m.gamma_ii),
+             "gamma_ri": _t2j(m.gamma_ri), "beta_r": _t2j(m.beta_r),
+             "beta_i": _t2j(m.beta_i)},
+            {"mean_r": _t2j(m.mean_r), "mean_i": _t2j(m.mean_i),
+             "vrr": _t2j(m.vrr), "vii": _t2j(m.vii), "vri": _t2j(m.vri)})
+
+
+def _lstm_params(m):
+    p = {}
+    for layer in range(m.num_layers):
+        for sfx in ([f"l{layer}", f"l{layer}_reverse"] if m.bidirectional
+                    else [f"l{layer}"]):
+            p[f"w_ih_{sfx}"] = _t2j(getattr(m, f"weight_ih_{sfx}").T)
+            p[f"w_hh_{sfx}"] = _t2j(getattr(m, f"weight_hh_{sfx}").T)
+            p[f"b_ih_{sfx}"] = _t2j(getattr(m, f"bias_ih_{sfx}"))
+            p[f"b_hh_{sfx}"] = _t2j(getattr(m, f"bias_hh_{sfx}"))
+    return p
+
+
+def _ca_params(m):
+    return {"fc1": _cconv_params(m.fc1), "fc2": _cconv_params(m.fc2)}
+
+
+def port_weights(net: TorchCNet):
+    params, stats = {}, {}
+    params["initial_bn"], stats["initial_bn"] = _cbn_params(net.initial_bn)
+    for i in range(N_LAYERS):
+        params[f"enc{i}_conv"] = _cconv_params(net.enc_conv[i])
+        params[f"enc{i}_bn"], stats[f"enc{i}_bn"] = _cbn_params(net.enc_bn[i])
+    params["lstm"] = {"real_lstm": _lstm_params(net.lstm.real_lstm),
+                      "imag_lstm": _lstm_params(net.lstm.imag_lstm)}
+    params["fc"] = {"kernel_r": _t2j(net.fc.lin_r.weight.T),
+                    "kernel_i": _t2j(net.fc.lin_i.weight.T),
+                    "bias_r": _t2j(net.fc.lin_r.bias),
+                    "bias_i": _t2j(net.fc.lin_i.bias)}
+    for i in range(N_LAYERS):
+        last = i == N_LAYERS - 1
+        params[f"dec{i}_convt"] = _cconv_params(net.dec[i], transpose=True)
+        if not last:
+            params[f"dec{i}_bn"], stats[f"dec{i}_bn"] = _cbn_params(
+                net.dec_bn[i])
+            params[f"dec{i}_ca"] = _ca_params(net.dec_ca[i])
+            params[f"dec{i}_sa"] = {"conv": _cconv_params(net.dec_sa[i].conv)}
+        params[f"skip{i}_ca"] = _ca_params(net.skip_ca[i])
+        params[f"skip{i}_sa"] = {"conv": _cconv_params(net.skip_sa[i].conv)}
+    return params, stats
+
+
+@pytest.fixture(scope="module")
+def oracle_c():
+    torch.manual_seed(0)
+    net = TorchCNet().eval()
+    cfg = config_for_variant("dcs")
+    cfg = cfg.replace(model=cfg.model.__class__(
+        complex_valued=True, subtractive=True,
+        dropout=False, dropout_conv=0.0, dropout_fc=0.0))
+    model = DCSNet(cfg.model, cfg.quirks)
+    params, stats = port_weights(net)
+    variables = {"params": params, "batch_stats": stats}
+    g = torch.Generator().manual_seed(11)
+    z_t = torch.complex(torch.randn(B, F, T, generator=g),
+                        torch.randn(B, F, T, generator=g))
+    return net, model, variables, z_t
+
+
+def test_composed_forward_eval_complex(oracle_c):
+    net, model, variables, z_t = oracle_c
+    with torch.no_grad():
+        ref = net(z_t)
+    x = CArray(_t2j(z_t.real), _t2j(z_t.imag))
+    ours = model.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(ours.re), ref.real.numpy(),
+                               rtol=1e-3, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(ours.im), ref.imag.numpy(),
+                               rtol=1e-3, atol=3e-4)
+
+
+def test_composed_gradients_and_adam_step_complex(oracle_c):
+    net, model, variables, z_t = oracle_c
+    g = torch.Generator().manual_seed(12)
+    tr_t = torch.rand(B, F, T, generator=g)
+    ti_t = torch.rand(B, F, T, generator=g)
+    tr, ti = _t2j(tr_t), _t2j(ti_t)
+
+    opt = torch.optim.Adam(net.parameters(), lr=1e-4, eps=1e-6,
+                           weight_decay=1e-4, amsgrad=True)
+    opt.zero_grad()
+    out_t = net(z_t)
+    loss_t = torch.mean((out_t.real - tr_t) ** 2 + (out_t.imag - ti_t) ** 2)
+    loss_t.backward()
+
+    x = CArray(_t2j(z_t.real), _t2j(z_t.imag))
+
+    def loss_fn(params):
+        out = model.apply({"params": params,
+                           "batch_stats": variables["batch_stats"]},
+                          x, train=False)
+        return jnp.mean((out.re - tr) ** 2 + (out.im - ti) ** 2)
+
+    loss_j, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    np.testing.assert_allclose(float(loss_j), float(loss_t.detach()),
+                               rtol=1e-3)
+
+    checks = [
+        ("enc0_conv", "kernel_r", net.enc_conv[0].conv_r.weight,
+         lambda w: w.permute(2, 3, 1, 0)),
+        ("dec6_convt", "kernel_i", net.dec[6].conv_i.weight,
+         lambda w: w.permute(2, 3, 0, 1)),
+        ("lstm", ("real_lstm", "w_ih_l0"), net.lstm.real_lstm.weight_ih_l0,
+         lambda w: w.T),
+        ("fc", "kernel_r", net.fc.lin_r.weight, lambda w: w.T),
+    ]
+    for name, key, w_t, conv in checks:
+        g_ref = conv(w_t.grad).numpy()
+        gv = grads[name][key[0]][key[1]] if isinstance(key, tuple) \
+            else grads[name][key]
+        scale = max(np.abs(g_ref).max(), 1e-12)
+        np.testing.assert_allclose(np.asarray(gv) / scale, g_ref / scale,
+                                   rtol=2e-3, atol=2e-4,
+                                   err_msg=f"grad mismatch at {name}")
+
+    opt.step()
+    from dcs_net_tpu.train.optim import make_optimizer
+
+    cfg = config_for_variant("dcs")
+    tx = make_optimizer(cfg.optim)
+    st = tx.init(variables["params"])
+    updates, _ = tx.update(grads, st, variables["params"])
+    new_params = jax.tree.map(lambda p, u: p + u, variables["params"], updates)
+    ref_params, _ = port_weights(net)
+    flat_new = jax.tree_util.tree_flatten_with_path(new_params)[0]
+    flat_ref = dict(jax.tree_util.tree_flatten_with_path(ref_params)[0])
+    for path, val in flat_new:
+        diff = float(jnp.abs(val - flat_ref[path]).max())
+        assert diff < 3e-5, (f"post-Adam param mismatch at "
+                             f"{jax.tree_util.keystr(path)}: {diff}")

@@ -40,26 +40,35 @@ def _env():
     return env
 
 
-def _run(pid: int, nproc: int, port: int, out: str) -> subprocess.Popen:
+def _run(pid: int, nproc: int, port: int, out: str,
+         data_root: str = None) -> subprocess.Popen:
+    argv = [sys.executable, WORKER, str(pid), str(nproc), str(port), out]
+    if data_root:
+        argv.append(data_root)
     return subprocess.Popen(
-        [sys.executable, WORKER, str(pid), str(nproc), str(port), out],
-        env=_env(), stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        argv, env=_env(), stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True)
 
 
 @pytest.mark.timeout(900)
 def test_two_process_training_matches_single(tmp_path):
+    from dcs_net_tpu.data import synthetic
+
     port = _free_port()
     outs = [str(tmp_path / f"mp{i}.json") for i in range(2)]
     base_out = str(tmp_path / "single.json")
+    # shared synthetic VoiceBank tree: the workers also drive the REAL
+    # make_loaders path (host-local batch sizing + shard_ids) against it
+    data_root = str(tmp_path / "vb")
+    synthetic.generate(data_root, n_train=16, n_test=2, seconds=0.3)
 
     # two coordinated processes (concurrently) ...
-    procs = [_run(i, 2, port, outs[i]) for i in range(2)]
+    procs = [_run(i, 2, port, outs[i], data_root) for i in range(2)]
     logs = [p.communicate(timeout=840)[0] for p in procs]
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
     # ... then the single-process baseline on the same global data
-    base = _run(0, 1, _free_port(), base_out)
+    base = _run(0, 1, _free_port(), base_out, data_root)
     blog = base.communicate(timeout=840)[0]
     assert base.returncode == 0, f"baseline failed:\n{blog[-4000:]}"
 
@@ -82,3 +91,9 @@ def test_two_process_training_matches_single(tmp_path):
     for r in results:
         np.testing.assert_allclose(r["allreduced"], 1.5)
     np.testing.assert_allclose(single["allreduced"], 1.0)
+    # real loader path: each host's Loader got the LOCAL shard of the global
+    # batch (8 utterances / 2 hosts = 4), and a loader-fed epoch ran
+    for r in results:
+        assert r["loader_local_batch"] == 4
+        assert np.isfinite(r["loader_train_loss"])
+    assert single["loader_local_batch"] == 8
