@@ -148,9 +148,7 @@ class DCSNet(nn.Module):
                         m.sa_kernel, weight_init=m.init, dtype=dt,
                         name=f"skip{i}_sa")(skip)
                     skip = sa * skip
-                d = CArray(jnp.concatenate([d.re, skip.re], axis=-1),
-                           jnp.concatenate([d.im, skip.im], axis=-1))
-                d = cl.complex_upsample_nearest(d, m.upsample[i])
+                parts = (d, skip)
             else:
                 if m.attention:
                     ca = att.RealChannelAttention(
@@ -162,15 +160,18 @@ class DCSNet(nn.Module):
                         m.sa_kernel, weight_init=m.init, dtype=dt,
                         name=f"skip{i}_sa")(skip)
                     skip = sa * skip
-                d = jnp.concatenate([d, skip], axis=-1)
-                d = rl.upsample_nearest(d, m.upsample[i])
+                parts = (d, skip)
 
             _, cout = m.dec_channels(i)
             last = i == m.n_layers - 1
+            # the skip concat and the nearest upsample are both fused into
+            # the convT (conv_engine.upsampled_conv2d_multi): neither the
+            # concatenated nor the upsampled tensor is materialized
             if cx:
                 d = cl.ComplexConvTranspose2d(
                     cout, m.kernel_d[i], padding=m.kernel_d[i] // 2, dtype=dt,
-                    weight_init=m.init, name=f"dec{i}_convt")(d)
+                    weight_init=m.init, upsample=m.upsample[i],
+                    name=f"dec{i}_convt")(parts)
                 if not last:
                     d = cl.ComplexBatchNorm2d(cout, name=f"dec{i}_bn")(d, train=train)
                     d = cl.complex_leaky_relu(d)
@@ -185,7 +186,8 @@ class DCSNet(nn.Module):
             else:
                 d = rl.ConvTranspose2d(
                     cout, m.kernel_d[i], padding=m.kernel_d[i] // 2, dtype=dt,
-                    weight_init=m.init, name=f"dec{i}_convt")(d)
+                    weight_init=m.init, upsample=m.upsample[i],
+                    name=f"dec{i}_convt")(parts)
                 if not last:
                     d = rl.BatchNorm2d(cout, name=f"dec{i}_bn")(d, train=train)
                     d = rl.leaky_relu(d)

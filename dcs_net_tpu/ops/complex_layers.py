@@ -48,6 +48,15 @@ def _combined_bias(br: jnp.ndarray, bi: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([br - bi, br + bi])
 
 
+def _split_cin(kernel: jnp.ndarray, cins) -> Tuple[jnp.ndarray, ...]:
+    """Split a (kh, kw, cin_total, cout) kernel along cin into per-part rows."""
+    out, off = [], 0
+    for c in cins:
+        out.append(kernel[:, :, off:off + c])
+        off += c
+    return tuple(out)
+
+
 class ComplexConv2d(nn.Module):
     """complexPyTorch ComplexConv2d as one packed real conv."""
 
@@ -67,12 +76,14 @@ class ComplexConv2d(nn.Module):
         w_init = init.weight_init(self.weight_init, fan_in, fan_out)
         wr = self.param("kernel_r", w_init, (kh, kw, cin, self.features))
         wi = self.param("kernel_i", w_init, (kh, kw, cin, self.features))
+        # one PACKED conv with the block kernel: splitting into per-(re,im)
+        # plane convs was measured 2-4x slower on TPU — halving the already
+        # tiny cin/cout (enc0: cin 2->1, SA: cout 2->1) collapses XLA's conv
+        # emitter quality, and the pack concat at the encoder's small channel
+        # counts is cheap. (The decoder convTs, where the concat IS the
+        # bottleneck, use the multi-input path instead — ConvTranspose2d.)
         packed = jnp.concatenate([x.re, x.im], axis=-1).astype(self.dtype)
         p = self.padding
-        # operands AND output in self.dtype (single-dtype VJP; MXU accumulates
-        # f32 internally; bf16 activations halve the HBM traffic bottleneck).
-        # conv_engine reroutes degenerate-channel shapes (dec6, SA convs) to
-        # dot_general reformulations.
         y = ce.conv2d(packed, _block_kernel(wr, wi).astype(self.dtype),
                       self.stride, p)
         if self.use_bias:
@@ -95,34 +106,71 @@ class ComplexConvTranspose2d(nn.Module):
     use_bias: bool = True
     weight_init: str = "xavier_uniform"
     dtype: jnp.dtype = jnp.float32
+    upsample: Pair = (1, 1)  # fused pre-conv nearest upsample
 
     @nn.compact
-    def __call__(self, x: CArray) -> CArray:
+    def __call__(self, x) -> CArray:
+        """x: CArray, or a TUPLE of CArrays treated as channel-concatenated
+        (the decoder's skip concat) without materializing the concat; with
+        ``upsample`` != (1,1) the preceding nearest-upsample is fused in
+        (conv_engine.upsampled_conv2d_multi)."""
+        # NB: CArray IS a NamedTuple — test for it before the tuple case
+        xs = (x,) if isinstance(x, CArray) else tuple(x)
         kh, kw = _pair(self.kernel_size)
-        cin = x.shape[-1]
+        cins = [xi.shape[-1] for xi in xs]
+        cin = sum(cins)
         fan_in, fan_out = self.features * kh * kw, cin * kh * kw
         w_init = init.weight_init(self.weight_init, fan_in, fan_out)
         wr = self.param("kernel_r", w_init, (kh, kw, cin, self.features))
         wi = self.param("kernel_i", w_init, (kh, kw, cin, self.features))
-        packed = jnp.concatenate([x.re, x.im], axis=-1).astype(self.dtype)
-        kernel = jnp.flip(_block_kernel(wr, wi), axis=(0, 1)).astype(self.dtype)
         p = self.padding
-        if self.stride == (1, 1):
-            y = ce.conv2d(packed, kernel, (1, 1), kh - 1 - p)
+        dt = self.dtype
+        res = [xc.re.astype(dt) for xc in xs]
+        ims = [xc.im.astype(dt) for xc in xs]
+        fr = jnp.flip(wr, axis=(0, 1)).astype(dt)
+        fi = jnp.flip(wi, axis=(0, 1)).astype(dt)
+        fr_parts, fi_parts = _split_cin(fr, cins), _split_cin(fi, cins)
+        # multi-input with PACKED-output block columns: the inputs
+        # (d.re, skip.re, d.im, skip.im) are read in place (neither the skip
+        # concat nor the re/im pack is materialized — both profiled as
+        # 0.3-0.6 ms pad+maximum fusions at full res), while the output
+        # keeps the 2*cout packed lanes so every dot stays as wide as the
+        # block-kernel formulation.
+        ins = tuple(res + ims)
+        w_cols = tuple(
+            [jnp.concatenate([r, i], axis=-1) for r, i in
+             zip(fr_parts, fi_parts)] +
+            [jnp.concatenate([-i, r], axis=-1) for r, i in
+             zip(fr_parts, fi_parts)])
+        if self.upsample != (1, 1):
+            assert self.stride == (1, 1) and p == kh // 2
+            y = ce.upsampled_conv2d_multi(ins, w_cols, self.upsample)
+            y_re, y_im = y[..., :self.features], y[..., self.features:]
+        elif self.stride == (1, 1):
+            # stride-1 convT == plain conv with flipped kernel, padding
+            # k-1-p; channel-concat-free (see above)
+            y = ce.conv2d_multi(ins, w_cols, (1, 1), kh - 1 - p)
+            y_re, y_im = y[..., :self.features], y[..., self.features:]
         else:
-            y = jax.lax.conv_general_dilated(
-                packed, kernel,
-                window_strides=(1, 1),
-                padding=((kh - 1 - p, kh - 1 - p), (kw - 1 - p, kw - 1 - p)),
-                lhs_dilation=self.stride,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
+            def upconv(x_, w_):
+                return jax.lax.conv_general_dilated(
+                    x_, w_, window_strides=(1, 1),
+                    padding=((kh - 1 - p, kh - 1 - p),
+                             (kw - 1 - p, kw - 1 - p)),
+                    lhs_dilation=self.stride,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+            xr = jnp.concatenate(res, -1) if len(res) > 1 else res[0]
+            xi = jnp.concatenate(ims, -1) if len(ims) > 1 else ims[0]
+            y_re = upconv(xr, fr) - upconv(xi, fi)
+            y_im = upconv(xr, fi) + upconv(xi, fr)
         if self.use_bias:
             b_init = init.torch_bias_uniform(fan_in)
             br = self.param("bias_r", b_init, (self.features,))
             bi = self.param("bias_i", b_init, (self.features,))
-            y = y + _combined_bias(br, bi).astype(y.dtype)
-        return CArray.unpack_channels(y, axis=-1)
+            y_re = y_re + (br - bi).astype(y_re.dtype)
+            y_im = y_im + (br + bi).astype(y_im.dtype)
+        return CArray(y_re, y_im)
 
 
 class ComplexLinear(nn.Module):

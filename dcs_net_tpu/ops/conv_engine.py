@@ -368,3 +368,237 @@ def conv2d(x: jnp.ndarray, w: jnp.ndarray, stride: Tuple[int, int],
     return jax.lax.conv_general_dilated(
         x, w, stride, ((padding, padding), (padding, padding)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+# ---- multi-input conv: sum_j conv(x_j, w_j) without channel concat ----------
+#
+# conv(concat(xs, -1), concat(ws, axis=2)) concatenates on the CHANNEL axis —
+# on TPU that is a layout-hostile materialization (the device profile shows
+# the complex packs lowered as pad+maximum kLoop fusions costing 0.3-0.6 ms
+# each at full resolution, plus relayout copies in the backward). Summing
+# per-input convs is mathematically identical and reads every operand in
+# place; for the tap-fold path the per-input dots accumulate into ONE shared
+# T so the K^2 slice-sum runs once.
+
+
+def _fwd_dispatch_multi(xs, ws):
+    K, _, _, Cout = ws[0].shape
+    p = K // 2
+    if K * K * Cout <= 32:
+        B, H, W, _ = xs[0].shape
+        t = None
+        for x, w in zip(xs, ws):
+            Cin = w.shape[2]
+            xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+            w2 = jnp.transpose(w, (2, 0, 1, 3)).reshape(Cin, K * K * Cout)
+            tj = jax.lax.dot_general(
+                xp, w2.astype(x.dtype), (((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            t = tj if t is None else t + tj
+        t = t.astype(xs[0].dtype)
+        acc = jnp.zeros((B, H, W, Cout), jnp.float32)
+        for kh in range(K):
+            for kw in range(K):
+                tap = kh * K + kw
+                acc = acc + _f32(jax.lax.slice(
+                    t, (0, kh, kw, tap * Cout),
+                    (B, kh + H, kw + W, (tap + 1) * Cout)))
+        return acc.astype(xs[0].dtype)
+    y = None
+    for x, w in zip(xs, ws):
+        yj = _conv_xla(x, w.astype(x.dtype))
+        y = yj if y is None else y + yj
+    return y
+
+
+@jax.custom_vjp
+def conv2d_same_tuned_multi(xs: Tuple[jnp.ndarray, ...],
+                            ws: Tuple[jnp.ndarray, ...]) -> jnp.ndarray:
+    """sum_j conv2d_same(x_j, w_j) for stride-1 'same' odd-K; the gradient
+    patches(g) tensor is built once and shared across all inputs."""
+    return _fwd_dispatch_multi(xs, ws)
+
+
+def _vjp_fwd_multi(xs, ws):
+    return _fwd_dispatch_multi(xs, ws), (xs, ws)
+
+
+def _vjp_bwd_multi(res, g):
+    xs, ws = res
+    g = g.astype(xs[0].dtype)
+    K = ws[0].shape[0]
+    Cout = g.shape[-1]
+    pg = _patches(g, K)  # shared across inputs
+    dxs, dws = [], []
+    for x, w in zip(xs, ws):
+        v = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2)
+        v = v.reshape(K * K * Cout, w.shape[2]).astype(g.dtype)
+        dxs.append(jax.lax.dot_general(
+            pg, v, (((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(x.dtype))
+        m = jax.lax.dot_general(x, pg, (((0, 1, 2), (0, 1, 2)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        m = m.reshape(x.shape[-1], K, K, Cout)
+        dws.append(jnp.transpose(jnp.flip(m, (1, 2)), (1, 2, 0, 3))
+                   .astype(w.dtype))
+    return tuple(dxs), tuple(dws)
+
+
+conv2d_same_tuned_multi.defvjp(_vjp_fwd_multi, _vjp_bwd_multi)
+
+
+def _conv_xla_strided(x, w, stride, padding):
+    return jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), stride, ((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def conv2d_strided_tuned_multi(xs: Tuple[jnp.ndarray, ...],
+                               ws: Tuple[jnp.ndarray, ...],
+                               stride: Tuple[int, int],
+                               padding: int) -> jnp.ndarray:
+    """sum_j conv(x_j, w_j, stride) with phase-decomposed input gradients."""
+    y = None
+    for x, w in zip(xs, ws):
+        yj = _conv_xla_strided(x, w, stride, padding)
+        y = yj if y is None else y + yj
+    return y
+
+
+def _vjp_fwd_strided_multi(xs, ws, stride, padding):
+    return conv2d_strided_tuned_multi(xs, ws, stride, padding), (xs, ws)
+
+
+def _vjp_bwd_strided_multi(stride, padding, res, g):
+    xs, ws = res
+    g = g.astype(xs[0].dtype)
+    dxs = tuple(
+        _dgrad_strided_phase(g, w, stride, padding, x.shape).astype(x.dtype)
+        for x, w in zip(xs, ws))
+    dws = tuple(
+        _wgrad_xla_strided(x, g, w.shape[0], stride, padding).astype(w.dtype)
+        for x, w in zip(xs, ws))
+    return dxs, dws
+
+
+conv2d_strided_tuned_multi.defvjp(_vjp_fwd_strided_multi,
+                                  _vjp_bwd_strided_multi)
+
+
+# ---- fused nearest-upsample + stride-1 'same' conv --------------------------
+#
+# Every decoder stage of this family is [concat(skip) -> x2-nearest-upsample
+# -> convT(stride 1, k=3, 'same')] (/root/reference/r_network.py:155-168,
+# config.py:100,105). Materializing the upsampled tensor costs a broadcast +
+# relayout copy per stage (profiled ~0.5 ms at full res), and the conv then
+# reads 4x the pixels. Because nearest upsampling repeats x[j//s], the conv
+# output decomposes by OUTPUT PHASE (J mod s): phase r is a stride-1 VALID
+# correlation of x itself with a folded kernel
+#     K_r[d] = sum_{t : floor((r+t-p)/s) == d} w[t]
+# (per spatial dim, taps t in [0,K)), so each phase reads x once at the
+# SMALL resolution and the phases interleave back with one reshape. The
+# multi-input form also absorbs the skip concat (w rows split per input).
+
+
+def _phase_fold(K: int, p: int, s: int):
+    """Per output phase r: (d_min, fold) with fold[a][t] == 1 iff tap t lands
+    on relative input offset d_min + a."""
+    out = []
+    for r in range(s):
+        buckets = {}
+        for t in range(K):
+            d = (r + t - p) // s
+            buckets.setdefault(d, []).append(t)
+        ds = sorted(buckets)
+        assert ds == list(range(ds[0], ds[0] + len(ds)))
+        fold = [[1.0 if t in buckets[d] else 0.0 for t in range(K)]
+                for d in ds]
+        out.append((ds[0], fold))
+    return out
+
+
+def upsampled_conv2d_multi(xs, ws, scale: Tuple[int, int]) -> jnp.ndarray:
+    """conv2d_same(nearest_upsample(concat(xs, -1), scale), concat(ws, 2)).
+
+    xs: inputs (B, H, W, Cin_j); ws: (K, K, Cin_j, Cout), K odd, padding K//2;
+    scale in {1, 2} per dim. Returns (B, s_h*H, s_w*W, Cout). Gradients come
+    from JAX AD: the adjoint of the tap dots is pads+one-dot per direction
+    (no patch materialization needed)."""
+    xs, ws = tuple(xs), tuple(ws)
+    K = ws[0].shape[0]
+    p = K // 2
+    s_h, s_w = scale
+    if (s_h, s_w) == (1, 1):
+        return conv2d_multi(xs, ws, (1, 1), p)
+    B, H, W, _ = xs[0].shape
+    Cout = ws[0].shape[-1]
+    folds_h = _phase_fold(K, p, s_h)
+    folds_w = _phase_fold(K, p, s_w)
+    phases = []
+    for dh_min, fh in folds_h:
+        fh = jnp.asarray(fh)                      # (ndh, K)
+        ndh = fh.shape[0]
+        for dw_min, fw in folds_w:
+            fw = jnp.asarray(fw)                  # (ndw, K)
+            ndw = fw.shape[0]
+            kerns = [jnp.einsum("ak,bl,klio->abio", fh, fw,
+                                w.astype(jnp.float32)).astype(w.dtype)
+                     for w in ws]
+            plh, prh = max(-dh_min, 0), max(dh_min + ndh - 1, 0)
+            plw, prw = max(-dw_min, 0), max(dw_min + ndw - 1, 0)
+            if ndh * ndw * Cout <= _MAX_PACKED_LANES:
+                t = None
+                for x, kern in zip(xs, kerns):
+                    Cin = x.shape[-1]
+                    xp = jnp.pad(x, ((0, 0), (plh, prh), (plw, prw), (0, 0)))
+                    w2 = jnp.transpose(kern, (2, 0, 1, 3)).reshape(
+                        Cin, ndh * ndw * Cout).astype(x.dtype)
+                    tj = jax.lax.dot_general(
+                        xp, w2, (((3,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    t = tj if t is None else t + tj
+                t = t.astype(xs[0].dtype)
+                acc = jnp.zeros((B, H, W, Cout), jnp.float32)
+                for jh in range(ndh):
+                    for jw in range(ndw):
+                        tap = jh * ndw + jw
+                        acc = acc + _f32(jax.lax.slice(
+                            t, (0, jh, jw, tap * Cout),
+                            (B, jh + H, jw + W, (tap + 1) * Cout)))
+                ph = acc.astype(xs[0].dtype)
+            else:
+                y = None
+                for x, kern in zip(xs, kerns):
+                    xp = jnp.pad(x, ((0, 0), (plh, prh), (plw, prw), (0, 0)))
+                    yj = jax.lax.conv_general_dilated(
+                        xp, kern.astype(x.dtype), (1, 1), ((0, 0), (0, 0)),
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                    y = yj if y is None else y + yj
+                ph = y
+            phases.append(ph)
+    # interleave: phases ordered (r_h major, r_w minor)
+    st = jnp.stack(phases, 0).reshape(s_h, s_w, B, H, W, Cout)
+    st = jnp.transpose(st, (2, 3, 0, 4, 1, 5))
+    return st.reshape(B, s_h * H, s_w * W, Cout)
+
+
+def conv2d_multi(xs, ws, stride: Tuple[int, int], padding: int) -> jnp.ndarray:
+    """sum_j conv2d(x_j, w_j, stride, padding) — channel-concat-free.
+
+    All w_j must share (K, K, *, Cout); inputs share (B, H, W, *)."""
+    xs, ws = tuple(xs), tuple(ws)
+    if len(xs) == 1:
+        return conv2d(xs[0], ws[0], stride, padding)
+    K = ws[0].shape[0]
+    cout = ws[0].shape[-1]
+    if use_tuned(K, stride, padding, cout):
+        return conv2d_same_tuned_multi(xs, ws)
+    cin_max = max(w.shape[2] for w in ws)
+    if use_tuned_strided(K, stride, padding, cin_max, cout):
+        return conv2d_strided_tuned_multi(xs, ws, stride, padding)
+    y = None
+    for x, w in zip(xs, ws):
+        yj = _conv_xla_strided(x, w, stride, padding)
+        y = yj if y is None else y + yj
+    return y

@@ -77,7 +77,13 @@ def _lstm_scan_multi(xp: jnp.ndarray, w_hh: jnp.ndarray, h0: jnp.ndarray,
         h = o * jnp.tanh(c)
         return (h, c), h
 
-    (h_f, c_f), hs = jax.lax.scan(step, (h0, c0), xp)
+    # unroll: the T=64 recurrence's per-iteration work is tiny, so the while
+    # loop's bookkeeping dominates (profiled ~0.3-0.4 ms per scan, 4 scans per
+    # step incl. AD transposes). 8 body copies per iteration cut that ~8x;
+    # the transposed (backward) scan inherits the same unroll. TPU-only:
+    # on CPU the 8x body duplication just bloats test compile times.
+    unroll = 8 if jax.default_backend() == "tpu" else 1
+    (h_f, c_f), hs = jax.lax.scan(step, (h0, c0), xp, unroll=unroll)
     return hs, (h_f, c_f)
 
 

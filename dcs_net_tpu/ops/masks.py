@@ -35,13 +35,30 @@ def bound_crm(M: CArray, atan2_eps: float) -> CArray:
     theta = atan2(M.im, M.re + eps). The eps shifts make this NOT idempotent,
     which matters because the reference bounds the network output twice
     (Quirks.double_bound_mask).
+
+    The atan2/cos/sin round trips are evaluated in rational form via the
+    exact identities cos(atan2(b, a)) = a/hypot(a, b) and
+    sin(atan2(b, a)) = b/hypot(a, b): six transcendentals per element (and
+    their AD duals) become two rsqrts — the mask bound runs at full
+    spectrogram resolution on four tensors per step (target, prediction,
+    double-bound, network output) and profiled as one of the larger
+    elementwise fusions. At (a, b) == (0, 0) — only hit when M.re == -eps and
+    M.im == 0 exactly — atan2 defines the angle as 0 (cos 1, sin 0); the
+    guarded rational form yields 0 instead of tanh(|M|) ~ 1e-6 there, far
+    inside the test tolerances on a measure-zero set.
     """
     mag_t = jnp.tanh(M.abs())
-    theta = jnp.arctan2(M.im, M.re + atan2_eps)
-    re1 = mag_t * jnp.cos(theta)
-    im1 = mag_t * jnp.sin(theta)
-    phase = jnp.arctan2(im1, re1 + atan2_eps)
-    return CArray(mag_t * jnp.cos(phase), mag_t * jnp.sin(phase))
+
+    def unit(a, b):  # (cos, sin) of atan2(b, a), rational
+        h2 = a * a + b * b
+        inv = jnp.where(h2 > 0, jax.lax.rsqrt(jnp.where(h2 > 0, h2, 1.0)), 0.0)
+        return a * inv, b * inv
+
+    c1, s1 = unit(M.re + atan2_eps, M.im)
+    re1 = mag_t * c1
+    im1 = mag_t * s1
+    c2, s2 = unit(re1 + atan2_eps, im1)
+    return CArray(mag_t * c2, mag_t * s2)
 
 
 def complex_mat_mult(A: CArray, B: CArray) -> CArray:

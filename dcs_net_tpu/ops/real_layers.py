@@ -24,6 +24,16 @@ def _pair(k) -> Pair:
     return (k, k) if isinstance(k, int) else tuple(k)
 
 
+def _split_cin(kernel: jnp.ndarray, xs) -> Tuple[jnp.ndarray, ...]:
+    """Split a (kh, kw, cin_total, cout) kernel along cin per input part."""
+    out, off = [], 0
+    for x in xs:
+        c = x.shape[-1]
+        out.append(kernel[:, :, off:off + c])
+        off += c
+    return tuple(out)
+
+
 class Conv2d(nn.Module):
     """torch.nn.Conv2d semantics (symmetric zero padding, cross-correlation).
 
@@ -77,11 +87,18 @@ class ConvTranspose2d(nn.Module):
     use_bias: bool = True
     weight_init: str = "xavier_uniform"
     dtype: jnp.dtype = jnp.float32
+    upsample: Pair = (1, 1)  # fused pre-conv nearest upsample (decoder stages)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x) -> jnp.ndarray:
+        """x: input array, or a TUPLE of arrays treated as channel-concatenated
+        (the decoder's skip concat) without materializing the concat. With
+        ``upsample`` != (1,1) the nearest-upsample preceding the conv is fused
+        in via output-phase decomposition (conv_engine.upsampled_conv2d_multi)
+        — requires stride (1,1), which is the only mode this family uses."""
+        xs = x if isinstance(x, tuple) else (x,)
         kh, kw = _pair(self.kernel_size)
-        cin = x.shape[-1]
+        cin = sum(xi.shape[-1] for xi in xs)
         # torch convT weight is (Cin, Cout, kh, kw): fan_in uses dim1 = Cout.
         fan_in, fan_out = self.features * kh * kw, cin * kh * kw
         kernel = self.param(
@@ -89,11 +106,20 @@ class ConvTranspose2d(nn.Module):
             (kh, kw, cin, self.features))
         p = self.padding
         flipped = jnp.flip(kernel, axis=(0, 1)).astype(self.dtype)
-        if self.stride == (1, 1):
+        if self.upsample != (1, 1):
+            assert self.stride == (1, 1) and p == kh // 2
+            y = ce.upsampled_conv2d_multi(
+                tuple(xi.astype(self.dtype) for xi in xs),
+                _split_cin(flipped, xs), self.upsample)
+        elif self.stride == (1, 1):
             # stride-1 convT == plain conv with flipped kernel, padding
             # k-1-p — the engine handles the degenerate decoder shapes
-            y = ce.conv2d(x.astype(self.dtype), flipped, (1, 1), kh - 1 - p)
+            y = ce.conv2d_multi(
+                tuple(xi.astype(self.dtype) for xi in xs),
+                _split_cin(flipped, xs), (1, 1), kh - 1 - p)
         else:
+            x = (jnp.concatenate([xi for xi in xs], axis=-1)
+                 if len(xs) > 1 else xs[0])
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype), flipped,
                 window_strides=(1, 1),

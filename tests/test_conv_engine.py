@@ -202,3 +202,95 @@ def test_strided_gradient_parity(shape, cout, k, stride):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
                                rtol=1e-4, atol=1e-4)
+
+
+# ---- multi-input (channel-concat-free) and fused-upsample paths -------------
+
+MULTI = [
+    # cins, cout, K, stride — complex-conv plane classes
+    ((1, 1), 2, 7, (2, 2)),    # enc0 per-plane (strided multi)
+    ((2, 2), 1, 7, (1, 1)),    # SA conv class (same-tuned multi)
+    ((3, 4), 6, 3, (1, 1)),    # dec-class small cout
+    ((8, 8), 16, 5, (2, 1)),   # XLA-fallback sum
+]
+
+
+@pytest.mark.parametrize("cins,cout,k,stride", MULTI)
+def test_conv2d_multi_parity(cins, cout, k, stride):
+    rng = np.random.default_rng(11)
+    p = k // 2
+    B, H, W = 2, 14, 11
+    xs = tuple(jnp.asarray(rng.standard_normal((B, H, W, c))
+                           .astype(np.float32)) for c in cins)
+    ws = tuple(jnp.asarray(rng.standard_normal((k, k, c, cout))
+                           .astype(np.float32)) * 0.2 for c in cins)
+
+    def ref(*args):
+        n = len(args) // 2
+        y = None
+        for x, w in zip(args[:n], args[n:]):
+            yj = jax.lax.conv_general_dilated(
+                x, w, stride, ((p, p), (p, p)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = yj if y is None else y + yj
+        return y
+
+    def mul(*args):
+        n = len(args) // 2
+        return ce.conv2d_multi(args[:n], args[n:], stride, p)
+
+    args = xs + ws
+    np.testing.assert_allclose(np.asarray(mul(*args)), np.asarray(ref(*args)),
+                               rtol=1e-4, atol=1e-4)
+    ga = jax.grad(lambda *a: jnp.sum(jnp.sin(ref(*a))),
+                  argnums=tuple(range(len(args))))(*args)
+    gb = jax.grad(lambda *a: jnp.sum(jnp.sin(mul(*a))),
+                  argnums=tuple(range(len(args))))(*args)
+    for u, v in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(v), np.asarray(u),
+                                   rtol=1e-4, atol=1e-4)
+
+
+UPSAMPLED = [
+    # cins, cout, scale — decoder stage classes (K=3 throughout the family)
+    ((3, 4), 6, (2, 2)),     # small-cout dot path
+    ((3, 4), 6, (2, 1)),
+    ((2, 2), 40, (2, 2)),    # per-phase conv fallback (ndh*ndw*cout > 144)
+    ((5,), 4, (1, 1)),       # degenerate scale == plain same conv
+]
+
+
+@pytest.mark.parametrize("cins,cout,scale", UPSAMPLED)
+def test_upsampled_conv2d_multi_parity(cins, cout, scale):
+    rng = np.random.default_rng(12)
+    K, p = 3, 1
+    B, H, W = 2, 9, 7
+    xs = tuple(jnp.asarray(rng.standard_normal((B, H, W, c))
+                           .astype(np.float32)) for c in cins)
+    ws = tuple(jnp.asarray(rng.standard_normal((K, K, c, cout))
+                           .astype(np.float32)) * 0.2 for c in cins)
+    sh, sw = scale
+
+    def ref(*args):
+        n = len(args) // 2
+        x = jnp.concatenate(args[:n], -1)
+        x = jnp.repeat(jnp.repeat(x, sh, 1), sw, 2)
+        w = jnp.concatenate(args[n:], 2)
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((p, p), (p, p)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    def fus(*args):
+        n = len(args) // 2
+        return ce.upsampled_conv2d_multi(args[:n], args[n:], scale)
+
+    args = xs + ws
+    np.testing.assert_allclose(np.asarray(fus(*args)), np.asarray(ref(*args)),
+                               rtol=1e-4, atol=1e-4)
+    ga = jax.grad(lambda *a: jnp.sum(jnp.sin(ref(*a))),
+                  argnums=tuple(range(len(args))))(*args)
+    gb = jax.grad(lambda *a: jnp.sum(jnp.sin(fus(*a))),
+                  argnums=tuple(range(len(args))))(*args)
+    for u, v in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(v), np.asarray(u),
+                                   rtol=1e-4, atol=1e-4)
