@@ -29,6 +29,7 @@ from dcs_net_tpu.ops import attention as att
 from dcs_net_tpu.ops import complex_layers as cl
 from dcs_net_tpu.ops import masks
 from dcs_net_tpu.ops import real_layers as rl
+from dcs_net_tpu.ops import widen
 from dcs_net_tpu.ops.lstm import LSTM, ComplexLSTM
 from dcs_net_tpu.utils.carray import CArray
 
@@ -143,11 +144,11 @@ class DCSNet(nn.Module):
                         skip_c, m.ca_reduction,
                         maxpool_is_avg=self.quirks.complex_maxpool_is_avg,
                         weight_init=m.init, dtype=dt, name=f"skip{i}_ca")(skip)
-                    skip = ca * skip
+                    skip = cl.complex_mul_bcast(skip, ca)
                     sa = att.ComplexSpatialAttention(
                         m.sa_kernel, weight_init=m.init, dtype=dt,
                         name=f"skip{i}_sa")(skip)
-                    skip = sa * skip
+                    skip = cl.complex_mul_bcast(skip, sa)
                 parts = (d, skip)
             else:
                 if m.attention:
@@ -155,11 +156,11 @@ class DCSNet(nn.Module):
                         skip_c, m.ca_reduction,
                         max_only=self.quirks.real_ca_max_only,
                         weight_init=m.init, dtype=dt, name=f"skip{i}_ca")(skip)
-                    skip = ca * skip
+                    skip = widen.mul_bcast(skip, ca)
                     sa = att.RealSpatialAttention(
                         m.sa_kernel, weight_init=m.init, dtype=dt,
                         name=f"skip{i}_sa")(skip)
-                    skip = sa * skip
+                    skip = widen.mul_bcast(skip, sa)
                 parts = (d, skip)
 
             _, cout = m.dec_channels(i)
@@ -176,13 +177,13 @@ class DCSNet(nn.Module):
                     d = cl.ComplexBatchNorm2d(cout, name=f"dec{i}_bn")(d, train=train)
                     d = cl.complex_leaky_relu(d)
                     if m.attention:
-                        d = d * att.ComplexChannelAttention(
+                        d = cl.complex_mul_bcast(d, att.ComplexChannelAttention(
                             cout, m.ca_reduction,
                             maxpool_is_avg=self.quirks.complex_maxpool_is_avg,
-                            weight_init=m.init, dtype=dt, name=f"dec{i}_ca")(d)
-                        d = d * att.ComplexSpatialAttention(
+                            weight_init=m.init, dtype=dt, name=f"dec{i}_ca")(d))
+                        d = cl.complex_mul_bcast(d, att.ComplexSpatialAttention(
                             m.sa_kernel, weight_init=m.init, dtype=dt,
-                            name=f"dec{i}_sa")(d)
+                            name=f"dec{i}_sa")(d))
             else:
                 d = rl.ConvTranspose2d(
                     cout, m.kernel_d[i], padding=m.kernel_d[i] // 2, dtype=dt,
@@ -192,13 +193,13 @@ class DCSNet(nn.Module):
                     d = rl.BatchNorm2d(cout, name=f"dec{i}_bn")(d, train=train)
                     d = rl.leaky_relu(d)
                     if m.attention:
-                        d = d * att.RealChannelAttention(
+                        d = widen.mul_bcast(d, att.RealChannelAttention(
                             cout, m.ca_reduction,
                             max_only=self.quirks.real_ca_max_only,
-                            weight_init=m.init, dtype=dt, name=f"dec{i}_ca")(d)
-                        d = d * att.RealSpatialAttention(
+                            weight_init=m.init, dtype=dt, name=f"dec{i}_ca")(d))
+                        d = widen.mul_bcast(d, att.RealSpatialAttention(
                             m.sa_kernel, weight_init=m.init, dtype=dt,
-                            name=f"dec{i}_sa")(d)
+                            name=f"dec{i}_sa")(d))
             d = drop_conv(d, train=train)
 
         # -- output bound (r_network.py:172, c_network.py:225) ---------------

@@ -19,6 +19,7 @@ from flax import linen as nn
 
 from dcs_net_tpu.ops import complex_layers as cl
 from dcs_net_tpu.ops import real_layers as rl
+from dcs_net_tpu.ops import widen
 from dcs_net_tpu.utils.carray import CArray
 
 
@@ -64,7 +65,9 @@ class RealSpatialAttention(nn.Module):
         conv = rl.Conv2d(1, self.kernel_size, padding=self.kernel_size // 2,
                          use_bias=False, weight_init=self.weight_init,
                          dtype=self.dtype, name="conv")
-        return jnp.reciprocal(1.0 + jnp.exp(-conv(cat)))
+        # (B, H, W, 1) at full resolution: run the sigmoid lane-merged
+        return widen.widened(
+            lambda v: jnp.reciprocal(1.0 + jnp.exp(-v)), conv(cat))
 
 
 class ComplexChannelAttention(nn.Module):

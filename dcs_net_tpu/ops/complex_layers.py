@@ -24,6 +24,7 @@ from flax import linen as nn
 
 from dcs_net_tpu.ops import conv_engine as ce
 from dcs_net_tpu.ops import initializers as init
+from dcs_net_tpu.ops import widen
 from dcs_net_tpu.utils.carray import CArray
 
 Pair = Tuple[int, int]
@@ -238,20 +239,30 @@ class ComplexBatchNorm2d(nn.Module):
         r_vri = self.variable("batch_stats", "vri", lambda: jnp.zeros(f))
 
         # whitening stats + normalization in f32 (bf16 accumulation over
-        # B*H*W would corrupt the 2x2 covariance); output in the input dtype
+        # B*H*W would corrupt the 2x2 covariance); output in the input dtype.
+        # Stats and apply read the lane-merged (B, H, W*C) views — narrow-C
+        # NHWC traversals starve the 128-lane vector width (ops/widen.py).
         in_dtype = x.re.dtype
-        x = CArray(x.re.astype(jnp.float32), x.im.astype(jnp.float32))
-        axes = tuple(range(x.re.ndim - 1))
+        xr32 = x.re.astype(jnp.float32)
+        xi32 = x.im.astype(jnp.float32)
+        wide = widen.should_widen(xr32.shape)
+
+        def cmean(v):  # per-channel mean with wide reads
+            if wide:
+                (out,) = widen.channel_sums(v, [lambda u: u])
+                return out
+            return jnp.mean(v, tuple(range(v.ndim - 1)))
+
         if train:
-            mean_r = jnp.mean(x.re, axes)
-            mean_i = jnp.mean(x.im, axes)
-            xr = x.re - mean_r
-            xi = x.im - mean_i
-            vrr = jnp.mean(xr * xr, axes) + self.eps
-            vii = jnp.mean(xi * xi, axes) + self.eps
-            vri = jnp.mean(xr * xi, axes)
+            mean_r = cmean(xr32)
+            mean_i = cmean(xi32)
+            xr = xr32 - mean_r
+            xi = xi32 - mean_i
+            vrr = cmean(xr * xr) + self.eps
+            vii = cmean(xi * xi) + self.eps
+            vri = cmean(xr * xi)
             if not self.is_initializing():
-                n = x.re.size // f
+                n = xr32.size // f
                 unb = n / max(n - 1, 1)
                 m = self.momentum
                 r_mean_r.value = (1 - m) * r_mean_r.value + m * mean_r
@@ -260,8 +271,7 @@ class ComplexBatchNorm2d(nn.Module):
                 r_vii.value = (1 - m) * r_vii.value + m * (vii - self.eps) * unb
                 r_vri.value = (1 - m) * r_vri.value + m * vri * unb
         else:
-            xr = x.re - r_mean_r.value
-            xi = x.im - r_mean_i.value
+            mean_r, mean_i = r_mean_r.value, r_mean_i.value
             vrr = r_vrr.value + self.eps
             vii = r_vii.value + self.eps
             vri = r_vri.value
@@ -275,11 +285,40 @@ class ComplexBatchNorm2d(nn.Module):
         rii = (vrr + s) * inv_st
         rri = -vri * inv_st
 
-        wr = rrr * xr + rri * xi
-        wi = rri * xr + rii * xi
-        out_r = grr * wr + gri * wi + beta_r
-        out_i = gri * wr + gii * wi + beta_i
+        # fold whitening + Gamma + centering into ONE per-channel 2x2 affine:
+        # out_r = a*x_r + b*x_i + cr ; out_i = c*x_r + d*x_i + ci — the apply
+        # is then two 3-operand wide fusions instead of the 6-multiply chain
+        a = grr * rrr + gri * rri
+        b = grr * rri + gri * rii
+        c = gri * rrr + gii * rri
+        d = gri * rri + gii * rii
+        cr = beta_r - a * mean_r - b * mean_i
+        ci = beta_i - c * mean_r - d * mean_i
+        if wide:
+            w = xr32.shape[-2]
+            xrm, xim = widen.merge(xr32), widen.merge(xi32)
+            am, bm = widen.tile_channel(a, w), widen.tile_channel(b, w)
+            cm, dm = widen.tile_channel(c, w), widen.tile_channel(d, w)
+            crm, cim = widen.tile_channel(cr, w), widen.tile_channel(ci, w)
+            out_r = widen.unmerge(xrm * am + xim * bm + crm, f)
+            out_i = widen.unmerge(xrm * cm + xim * dm + cim, f)
+        else:
+            out_r = xr32 * a + xi32 * b + cr
+            out_i = xr32 * c + xi32 * d + ci
         return CArray(out_r.astype(in_dtype), out_i.astype(in_dtype))
+
+
+def complex_mul_bcast(x: CArray, a: CArray) -> CArray:
+    """x * a (complex product) with a broadcast CBAM attention factor
+    ((B,1,1,C) or (B,H,W,1)), computed on lane-merged views (ops/widen.py)."""
+    if not widen.should_widen(x.shape):
+        return x * a
+    c = x.shape[-1]
+    xr, xi = widen.merge(x.re), widen.merge(x.im)
+    ar = widen.bcast_merge(a.re, x.shape)
+    ai = widen.bcast_merge(a.im, x.shape)
+    return CArray(widen.unmerge(xr * ar - xi * ai, c),
+                  widen.unmerge(xr * ai + xi * ar, c))
 
 
 # -- activations / pools / resampling (split re/im semantics) ----------------
@@ -287,19 +326,23 @@ class ComplexBatchNorm2d(nn.Module):
 def complex_relu(x: CArray) -> CArray:
     """ComplexReLU: split ReLU (complexPyTorch; matches the first-party
     pattern at /root/reference/network_functions.py:103-105)."""
-    return CArray(jnp.maximum(x.re, 0), jnp.maximum(x.im, 0))
+    from dcs_net_tpu.ops.real_layers import relu
+
+    return CArray(relu(x.re), relu(x.im))
 
 
 def complex_leaky_relu(x: CArray, negative_slope: float = 0.01) -> CArray:
     """ComplexLReLU (/root/reference/network_functions.py:98-105)."""
-    return CArray(
-        jnp.where(x.re >= 0, x.re, negative_slope * x.re),
-        jnp.where(x.im >= 0, x.im, negative_slope * x.im))
+    from dcs_net_tpu.ops.real_layers import leaky_relu
+
+    return CArray(leaky_relu(x.re, negative_slope),
+                  leaky_relu(x.im, negative_slope))
 
 
 def complex_sigmoid(x: CArray) -> CArray:
     """ComplexSigmoid (/root/reference/network_functions.py:107-112)."""
-    return CArray(jax.nn.sigmoid(x.re), jax.nn.sigmoid(x.im))
+    return CArray(widen.widened(jax.nn.sigmoid, x.re),
+                  widen.widened(jax.nn.sigmoid, x.im))
 
 
 def complex_upsample_nearest(x: CArray, scale: Pair) -> CArray:
@@ -344,8 +387,18 @@ class ComplexDropout(nn.Module):
             return x
         keep = 1.0 - self.rate
         rng = self.make_rng("dropout")
-        mask = jax.random.bernoulli(rng, keep, x.shape + (2,))
         scale = 1.0 / keep
+        if widen.should_widen(x.shape):
+            # independent re/im masks (same semantics as the reference's
+            # view_as_real dropout), drawn and applied on lane-merged views
+            c = x.shape[-1]
+            rm, im_ = widen.merge(x.re), widen.merge(x.im)
+            # (2, ...) leading so the mask tensor itself stays lane-wide
+            mask = jax.random.bernoulli(rng, keep, (2,) + rm.shape)
+            return CArray(
+                widen.unmerge(jnp.where(mask[0], rm * scale, 0.0), c),
+                widen.unmerge(jnp.where(mask[1], im_ * scale, 0.0), c))
+        mask = jax.random.bernoulli(rng, keep, x.shape + (2,))
         return CArray(
             jnp.where(mask[..., 0], x.re * scale, 0.0),
             jnp.where(mask[..., 1], x.im * scale, 0.0))

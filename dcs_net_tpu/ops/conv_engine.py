@@ -298,10 +298,10 @@ def _dgrad_strided_phase(g, w, stride, padding, x_shape):
     # update on a strided view instead: build via concatenate-of-stacks only
     # when uniform, else scatter into zeros.
     if H % s_h == 0 and W % s_w == 0:
-        # (s_h, s_w, B, Ha, Wb, C) -> (B, Ha, s_h, Wb, s_w, C) -> (B,H,W,C)
-        ph = jnp.stack([jnp.stack(c, 0) for c in rows], 0)
-        ph = jnp.transpose(ph, (2, 3, 0, 4, 1, 5))
-        return ph.reshape(B, H, W, Cin)
+        # concat+reshape interleave (see _interleave_phases): no 6-D transpose
+        return _interleave_phases(
+            [rows[a][b].astype(jnp.float32) for a in range(s_h)
+             for b in range(s_w)], s_h, s_w, Cin)
     out = jnp.zeros((B, H, W, Cin), jnp.float32)
     for a in range(s_h):
         for b in range(s_w):
@@ -577,10 +577,28 @@ def upsampled_conv2d_multi(xs, ws, scale: Tuple[int, int]) -> jnp.ndarray:
                     y = yj if y is None else y + yj
                 ph = y
             phases.append(ph)
-    # interleave: phases ordered (r_h major, r_w minor)
-    st = jnp.stack(phases, 0).reshape(s_h, s_w, B, H, W, Cout)
-    st = jnp.transpose(st, (2, 3, 0, 4, 1, 5))
-    return st.reshape(B, s_h * H, s_w * W, Cout)
+    # interleave: phases ordered (r_h major, r_w minor). Concat+reshape only —
+    # concat over r_w on the CHANNEL axis linearizes as (w, r_w, c) which
+    # reshapes for free to (s_w*W, c); concat over r_h on the merged W axis
+    # linearizes as (h, r_h, j) -> (s_h*H, j). No 6-D transpose copy (the
+    # stack+transpose interleave profiled ~0.4 ms/stage at dec5; xprof
+    # copy.15662/15821).
+    return _interleave_phases(phases, s_h, s_w, Cout)
+
+
+def _interleave_phases(phases, s_h, s_w, cout):
+    """phases: list of (B, H, W, C) ordered (r_h major, r_w minor) ->
+    (B, s_h*H, s_w*W, C) nearest-phase interleave via concat+reshape."""
+    B, H, W, _ = phases[0].shape
+    rows = []
+    for a in range(s_h):
+        row = phases[a * s_w:(a + 1) * s_w]
+        r = row[0] if s_w == 1 else jnp.concatenate(row, axis=-1).reshape(
+            B, H, s_w * W, cout)
+        rows.append(r)
+    if s_h == 1:
+        return rows[0]
+    return jnp.concatenate(rows, axis=2).reshape(B, s_h * H, s_w * W, cout)
 
 
 def conv2d_multi(xs, ws, stride: Tuple[int, int], padding: int) -> jnp.ndarray:

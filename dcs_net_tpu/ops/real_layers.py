@@ -16,6 +16,7 @@ from flax import linen as nn
 
 from dcs_net_tpu.ops import conv_engine as ce
 from dcs_net_tpu.ops import initializers as init
+from dcs_net_tpu.ops import widen
 
 Pair = Tuple[int, int]
 
@@ -176,12 +177,20 @@ class BatchNorm2d(nn.Module):
                                lambda: jnp.ones(self.features))
         # stats and normalization in f32 regardless of activation dtype
         # (bf16 accumulation over B*H*W elements would be inaccurate);
-        # output returns in the input's dtype.
+        # output returns in the input's dtype. Stats and apply both read the
+        # lane-merged (B, H, W*C) view — narrow-C NHWC traversals run far
+        # below the 128-lane vector width (ops/widen.py rationale).
         x32 = x.astype(jnp.float32)
+        wide = widen.should_widen(x.shape)
         if train:
-            axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(x32, axes)
-            var = jnp.mean(jnp.square(x32 - mean), axes)  # biased
+            if wide:
+                (mean,) = widen.channel_sums(x32, [lambda v: v])
+                (var,) = widen.channel_sums(
+                    x32, [lambda v: jnp.square(v - mean)])  # biased
+            else:
+                axes = tuple(range(x.ndim - 1))
+                mean = jnp.mean(x32, axes)
+                var = jnp.mean(jnp.square(x32 - mean), axes)  # biased
             n = x.size // self.features
             unbiased = var * (n / max(n - 1, 1))
             if not self.is_initializing():
@@ -190,17 +199,26 @@ class BatchNorm2d(nn.Module):
                 ra_var.value = (1 - m) * ra_var.value + m * unbiased
         else:
             mean, var = ra_mean.value, ra_var.value
-        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
-        return (y * gamma + beta).astype(x.dtype)
+        # fold into one scale+shift so the apply is a 2-operand wide fusion
+        scale = jax.lax.rsqrt(var + self.eps) * gamma
+        shift = beta - mean * scale
+        if wide:
+            w = x.shape[-2]
+            sc = widen.tile_channel(scale, w)
+            sh = widen.tile_channel(shift, w)
+            y = widen.merge(x32) * sc + sh
+            return widen.unmerge(y, self.features).astype(x.dtype)
+        return (x32 * scale + shift).astype(x.dtype)
 
 
 def relu(x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.maximum(x, 0)
+    return widen.widened(lambda v: jnp.maximum(v, 0), x)
 
 
 def leaky_relu(x: jnp.ndarray, negative_slope: float = 0.01) -> jnp.ndarray:
     """torch default slope 0.01 (nn.LeakyReLU())."""
-    return jnp.where(x >= 0, x, negative_slope * x)
+    return widen.widened(
+        lambda v: jnp.where(v >= 0, v, negative_slope * v), x)
 
 
 def upsample_nearest(x: jnp.ndarray, scale: Pair) -> jnp.ndarray:
@@ -235,5 +253,12 @@ class Dropout(nn.Module):
             return x
         keep = 1.0 - self.rate
         rng = self.make_rng("dropout")
+        if widen.should_widen(x.shape):
+            # same Bernoulli stream (counter-based bits depend only on the
+            # element count), applied on the lane-merged view
+            xm = widen.merge(x)
+            mask = jax.random.bernoulli(rng, keep, xm.shape)
+            return widen.unmerge(
+                jnp.where(mask, xm / keep, 0.0), x.shape[-1])
         mask = jax.random.bernoulli(rng, keep, x.shape)
         return jnp.where(mask, x / keep, 0.0)
