@@ -222,6 +222,36 @@ def make_scanned_train_step(model, cfg: Config, tx, k: int):
     return scanned
 
 
+def make_loss_and_grads(model, cfg: Config):
+    """(state, batch, rng) -> (loss, grads): the train-step gradient path
+    without the optimizer update.
+
+    Exists for the DP==single-device invariant test: gradients are the
+    quantity the SPMD partitioner actually reduces (psum over the data axis),
+    so they are what the invariant is ABOUT. Post-Adam parameters are not a
+    usable proxy — Adam's first-step update g/(|g|+eps) has slope up to
+    1/eps at g=0, so a reduction-order rounding delta of ~1e-8 on a
+    near-zero gradient element legitimately moves a parameter by ~lr/eps
+    times that (>1e-6 at lr=1e-4, eps=1e-6), past any bitwise-ish tolerance.
+    """
+
+    def fn(state: TrainState, batch: Batch, rng: jax.Array):
+        def loss_fn(params):
+            def apply_net(x):
+                y, _ = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    x, train=True, rngs={"dropout": rng},
+                    mutable=["batch_stats"])
+                return y
+
+            out = run_model_and_masks(apply_net, batch, cfg)
+            return pipeline_losses(out, cfg)["loss"]
+
+        return jax.value_and_grad(loss_fn)(state.params)
+
+    return fn
+
+
 def make_eval_step(model, cfg: Config):
     """Validation/test step: eval-mode forward, losses + audio streams
     (metrics like PESQ/STOI run host-side on the returned audio — reference
