@@ -390,7 +390,13 @@ class ComplexDropout(nn.Module):
         scale = 1.0 / keep
         if widen.should_widen(x.shape):
             # independent re/im masks (same semantics as the reference's
-            # view_as_real dropout), drawn and applied on lane-merged views
+            # view_as_real dropout), drawn and applied on lane-merged views.
+            # NB: this path draws the mask as (2,)+merged vs the narrow
+            # path's shape+(2,) — the same key yields a DIFFERENT bit
+            # assignment per element across the two paths. Semantics
+            # (independent per-element Bernoulli) are preserved; only
+            # cross-path RNG reproducibility differs, and no product config
+            # toggles the widen threshold between runs.
             c = x.shape[-1]
             rm, im_ = widen.merge(x.re), widen.merge(x.im)
             # (2, ...) leading so the mask tensor itself stays lane-wide

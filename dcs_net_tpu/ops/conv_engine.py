@@ -155,8 +155,9 @@ def _wgrad_xla(x, g, K):
 def conv2d_same_tuned(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """Stride-1 'same' odd-K cross-correlation, NHWC/HWIO, no bias.
 
-    Only call when use_tuned(...) is True (K*K*Cout <= 128); forward and both
-    gradients then run as single large dot_generals (docstring above)."""
+    Only call when use_tuned(...) is True (K*K*Cout <= _MAX_PACKED_LANES);
+    forward and both gradients then run as single large dot_generals
+    (docstring above)."""
     return _fwd_dispatch(x, w)
 
 

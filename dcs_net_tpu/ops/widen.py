@@ -58,7 +58,13 @@ def bcast_merge(a: jnp.ndarray, x_shape) -> jnp.ndarray:
 
     Supports the CBAM factor shapes: (B, 1, 1, C) channel attention and
     (B, H, W, 1) spatial attention. The returned array broadcasts against
-    merge(x) of shape (B, H, W*C)."""
+    merge(x) of shape (B, H, W*C).
+
+    Perf note: the tile/repeat materializes the factor at merged-activation
+    size; the win relies on XLA fusing it into the neighboring multiply
+    (verified by the committed xprof profiles — no standalone broadcast op
+    appears). If that fusion ever breaks, the multiply gains a full-tensor
+    write and this should revert to plain 4-D broadcasting."""
     b, h, w, c = x_shape
     if a.shape[-3:] == (1, 1, c):  # channel attention: tile [c0..cC] W times
         return jnp.tile(a.reshape(a.shape[0], 1, c), (1, 1, w))
