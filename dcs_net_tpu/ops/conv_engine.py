@@ -310,14 +310,73 @@ def _dgrad_strided_phase(g, w, stride, padding, x_shape):
     return out
 
 
+def _strided_patches(x, K, stride, padding):
+    """S[h', w', (th, tw, ci)] = x_pad[s_h*h' + th, s_w*w' + tw, ci] — taps
+    (th major, tw, ci minor) matching w.reshape(K*K*Cin, Cout)'s row order.
+
+    NO strided slices: a strided lax.slice over H AND W measured 1.33 ms
+    EACH on the chip (the gather runs at lane granularity; 49 taps = 65
+    ms/step). Instead the stride phases fold onto the LANE axis first —
+    the W fold is a free reshape ((w, c) -> (w/s_w, s_w*c) reinterprets the
+    same memory), the H fold is ONE space-to-depth relayout per conv — and
+    every tap then reads a stride-1 spatial slice + a lane block."""
+    s_h, s_w = stride
+    B, H, W, C = x.shape
+    p = padding
+    HO = (H + 2 * p - K) // s_h + 1
+    WO = (W + 2 * p - K) // s_w + 1
+    nh = (K - 1) // s_h + HO          # phase-grid rows the taps reach
+    nw = (K - 1) // s_w + WO
+    xp = jnp.pad(x, ((0, 0), (p, s_h * nh - H - p),
+                     (p, s_w * nw - W - p), (0, 0)))
+    cl = C
+    if s_w > 1:
+        xp = xp.reshape(B, s_h * nh, nw, s_w * C)   # free: (w, c) merge
+        cl = s_w * C
+    if s_h > 1:
+        xp = xp.reshape(B, nh, s_h, nw, cl)
+        xp = jnp.transpose(xp, (0, 1, 3, 2, 4)).reshape(B, nh, nw, s_h * cl)
+    cols = []
+    for th in range(K):
+        for tw in range(K):
+            base = ((th % s_h) * s_w + (tw % s_w)) * C
+            cols.append(jax.lax.slice(
+                xp, (0, th // s_h, tw // s_w, base),
+                (B, th // s_h + HO, tw // s_w + WO, base + C)))
+    return jnp.concatenate(cols, axis=-1)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def conv2d_strided_tuned(x: jnp.ndarray, w: jnp.ndarray,
                          stride: Tuple[int, int], padding: int) -> jnp.ndarray:
     """Strided conv (torch Conv2d semantics) whose dgrad runs phase-decomposed
-    (docstring above); forward and wgrad stay on XLA (measured near-fine)."""
+    (docstring above); forward and wgrad stay on XLA.
+
+    Round-4 note: a full patch-dot reformulation (S = strided tap patches,
+    y = S @ w2, dw = S^T @ g; see _strided_patches/_strided_fwd_dot) was
+    built and measured — it LOSES to XLA's own lowering at every encoder
+    shape (bench/stage_ab.py: enc1 fwd 3.7 ms vs 0 (sub-RTT), bwd 2.2 vs
+    0.45; enc0 fwd 0.8 vs 0) because the S materialization costs
+    K^2/(s_h*s_w) x the input's HBM bytes while XLA's direct emitter keeps
+    the window in registers. Kept (flag below + parity tests) as the
+    measured record."""
+    if STRIDED_PATCHDOT:
+        s = _strided_patches(x, w.shape[0], stride, padding)
+        return _strided_fwd_dot(s, w)
     return jax.lax.conv_general_dilated(
         x, w, stride, ((padding, padding), (padding, padding)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+STRIDED_PATCHDOT = False
+
+
+def _strided_fwd_dot(s, w):
+    K, _, cin, cout = w.shape
+    w2 = w.reshape(K * K * cin, cout).astype(s.dtype)
+    return jax.lax.dot_general(
+        s, w2, (((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(s.dtype)
 
 
 def _vjp_fwd_strided(x, w, stride, padding):
@@ -350,7 +409,10 @@ conv2d_strided_tuned.defvjp(_vjp_fwd_strided, _vjp_bwd_strided)
 
 def use_tuned_strided(kernel_size: int, stride: Tuple[int, int], padding: int,
                       cin: int, cout: int) -> bool:
-    """Phase-dgrad pays off when Cin is small (the dx side is degenerate)."""
+    """Phase-dgrad pays off when Cin is small (the dx side is degenerate).
+    Round 4 re-verified the r3 gate: widening it to every strided conv (with
+    either XLA or patch-dot forwards) measured slower at enc1-enc4
+    (bench/stage_ab.py); the XLA direct emitters win once Cin*K*K > 128."""
     return (kernel_size % 2 == 1 and padding == kernel_size // 2
             and stride != (1, 1) and max(stride) <= 2
             and cin * kernel_size * kernel_size <= 128)
@@ -519,19 +581,54 @@ def _phase_fold(K: int, p: int, s: int):
     return out
 
 
+def _unified_fold(K: int, p: int, s: int):
+    """Fold matrix over the UNION window of all s phases.
+
+    Returns (d_min, F) with F (s, D, K): F[r, d_idx, t] == 1 iff tap t of
+    output phase r reads relative input offset d_min + d_idx, i.e.
+    floor((r + t - p)/s) == d_min + d_idx. D is the union width (3 for the
+    family's k=3 upsample stages regardless of s in {1, 2})."""
+    import numpy as np
+
+    ds = [(r + t - p) // s for r in range(s) for t in range(K)]
+    d_min, d_max = min(ds), max(ds)
+    D = d_max - d_min + 1
+    F = np.zeros((s, D, K), np.float32)
+    for r in range(s):
+        for t in range(K):
+            F[r, (r + t - p) // s - d_min, t] = 1.0
+    return d_min, F
+
+
 def upsampled_conv2d_multi(xs, ws, scale: Tuple[int, int]) -> jnp.ndarray:
     """conv2d_same(nearest_upsample(concat(xs, -1), scale), concat(ws, 2)).
 
     xs: inputs (B, H, W, Cin_j); ws: (K, K, Cin_j, Cout), K odd, padding K//2;
-    scale in {1, 2} per dim. Returns (B, s_h*H, s_w*W, Cout). Gradients come
-    from JAX AD: the adjoint of the tap dots is pads+one-dot per direction
-    (no patch materialization needed)."""
+    scale in {1, 2} per dim. Returns (B, s_h*H, s_w*W, Cout).
+
+    ONE unified patch-dot (round 4; replaces the per-phase tap-fold whose
+    ~28 narrow dots per decoder stage measured 3.0 ms at dec5): every output
+    phase r reads input offsets d = floor((r + t - p)/s) from the SAME union
+    window [d_min, d_min + D) (D = 3 for k = 3, s in {1, 2}), so
+        Yp[h', w', (r_h, r_w, co)]
+          = sum_{d_h, d_w, ci} Q[h', w', (d_h, d_w, ci)]
+              * Kbig[(d_h, d_w, ci), (r_h, r_w, co)]
+    with Q = the D x D shifted-slice patches of X (all inputs' channels
+    concatenated on lanes) and Kbig = the fold-combined kernel
+    (Kbig[d, r] = sum_{t: floor((r+t-p)/s) == d} w[t]). Contraction is
+    D*D*sum(Cin) (hundreds — full MXU depth), lanes are s_h*s_w*Cout. The
+    phase interleave is lane slices + the concat+reshape interleave. JAX AD
+    gives the efficient adjoints automatically: dKbig = Q^T @ dYp (one fat
+    dot contracting B*H*W), dQ = dYp @ Kbig^T followed by a D*D overlap-add
+    (the transpose of the patch slices)."""
     xs, ws = tuple(xs), tuple(ws)
     K = ws[0].shape[0]
     p = K // 2
     s_h, s_w = scale
     if (s_h, s_w) == (1, 1):
         return conv2d_multi(xs, ws, (1, 1), p)
+    if UNIFIED_UPDOT:
+        return _upsampled_unified(xs, ws, scale)
     B, H, W, _ = xs[0].shape
     Cout = ws[0].shape[-1]
     folds_h = _phase_fold(K, p, s_h)
@@ -578,13 +675,121 @@ def upsampled_conv2d_multi(xs, ws, scale: Tuple[int, int]) -> jnp.ndarray:
                     y = yj if y is None else y + yj
                 ph = y
             phases.append(ph)
-    # interleave: phases ordered (r_h major, r_w minor). Concat+reshape only —
-    # concat over r_w on the CHANNEL axis linearizes as (w, r_w, c) which
-    # reshapes for free to (s_w*W, c); concat over r_h on the merged W axis
-    # linearizes as (h, r_h, j) -> (s_h*H, j). No 6-D transpose copy (the
-    # stack+transpose interleave profiled ~0.4 ms/stage at dec5; xprof
-    # copy.15662/15821).
     return _interleave_phases(phases, s_h, s_w, Cout)
+
+
+# Round-4 A/B verdict (bench/stage_ab.py, committed to BASELINE.md): the
+# per-phase tap-fold above BEATS the unified patch-dot at every decoder
+# stage — dec5 fwd+bwd 0.42 ms (tapfold) vs 3.67 ms (unified XLA Q-dot) vs
+# 3.68 ms (Pallas fwd + XLA bwd; the fwd kernel itself ties at 0.19 vs
+# 0.36 ms, but the Q-rebuild backward sinks it). The unified path stays
+# available (flag below + parity tests) as the measured record.
+UNIFIED_UPDOT = False
+
+
+def _upsampled_unified(xs, ws, scale):
+    """Unified one-dot formulation (see _updot); kept for A/B + tests."""
+    K = ws[0].shape[0]
+    p = K // 2
+    s_h, s_w = scale
+    Cout = ws[0].shape[-1]
+    dt = xs[0].dtype
+    dh_min, Fh = _unified_fold(K, p, s_h)
+    dw_min, Fw = _unified_fold(K, p, s_w)
+    Dh, Dw = Fh.shape[1], Fw.shape[1]
+    fh = jnp.asarray(Fh)
+    fw = jnp.asarray(Fw)
+    blocks = []
+    for dh in range(Dh):
+        for dw in range(Dw):
+            per_tap = [jnp.einsum("at,bv,tvio->iabo", fh[:, dh], fw[:, dw],
+                                  w.astype(jnp.float32))
+                       .reshape(w.shape[2], s_h * s_w * Cout) for w in ws]
+            blocks.append(jnp.concatenate(per_tap, axis=0))
+    kbig = jnp.stack(blocks, axis=0).astype(dt)  # (Dh*Dw, cin_tot, s2*cout)
+    xcat = jnp.concatenate(xs, axis=-1) if len(xs) > 1 else xs[0]
+    pads = ((0, 0), (-dh_min, dh_min + Dh - 1), (-dw_min, dw_min + Dw - 1),
+            (0, 0))
+    xp = jnp.pad(xcat, pads)
+    yp = _updot(xp, kbig, (Dh, Dw))
+    phases = [jax.lax.slice_in_dim(yp, r * Cout, (r + 1) * Cout, axis=3)
+              for r in range(s_h * s_w)]
+    return _interleave_phases(phases, s_h, s_w, Cout)
+
+
+def _pallas_fwd_enabled() -> bool:
+    """The VMEM tapconv kernel runs on real TPU, single-device only (a
+    pallas_call is not auto-partitioned by GSPMD; the DP product path is
+    batch-sharded, so multi-device meshes keep the XLA dot formulation)."""
+    return jax.default_backend() == "tpu" and len(jax.devices()) == 1
+
+
+def _updot_patches(xp, taps):
+    """Q: (B, HO, WO, Dh*Dw*Cin) shifted-slice patches, tap-major rows."""
+    dh_n, dw_n = taps
+    B, Hp, Wp, C = xp.shape
+    HO, WO = Hp - dh_n + 1, Wp - dw_n + 1
+    cols = []
+    for dh in range(dh_n):
+        for dw in range(dw_n):
+            cols.append(jax.lax.slice(
+                xp, (0, dh, dw, 0), (B, dh + HO, dw + WO, C)))
+    return jnp.concatenate(cols, axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _updot(xp: jnp.ndarray, kbig: jnp.ndarray,
+           taps: Tuple[int, int]) -> jnp.ndarray:
+    """Stride-1 VALID tap conv: xp (B, Hp, Wp, Cin) x kbig (Dh*Dw, Cin, N)
+    -> (B, HO, WO, N). Forward rides the VMEM Pallas kernel on a single
+    real TPU (x read once, y written once — no Q in HBM), else one XLA
+    patch-dot. Backward: dKbig = Q^T @ g (one fat dot contracting B*HO*WO;
+    Q rebuilt, not saved — slices are cheaper than 200+ MB residuals) and
+    dxp = overlap-add of g @ kbig^T (the patch transpose, a Dh*Dw pad+add
+    tree XLA fuses)."""
+    dh_n, dw_n = taps
+    from dcs_net_tpu.ops.pallas_tapconv import tapconv_applicable, tapconv_valid
+
+    if (_pallas_fwd_enabled()
+            and tapconv_applicable(xp.shape, kbig.shape)):
+        return tapconv_valid(xp, kbig, dh_n, dw_n)
+    q = _updot_patches(xp, taps)
+    cin = xp.shape[-1]
+    k2 = kbig.reshape(dh_n * dw_n * cin, kbig.shape[-1])
+    return jax.lax.dot_general(q, k2, (((3,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32
+                               ).astype(xp.dtype)
+
+
+def _updot_fwd(xp, kbig, taps):
+    return _updot(xp, kbig, taps), (xp, kbig)
+
+
+def _updot_bwd(taps, res, g):
+    xp, kbig = res
+    dh_n, dw_n = taps
+    B, Hp, Wp, cin = xp.shape
+    n = kbig.shape[-1]
+    HO, WO = Hp - dh_n + 1, Wp - dw_n + 1
+    g = g.astype(xp.dtype)
+    q = _updot_patches(xp, taps)
+    dk = jax.lax.dot_general(q, g, (((0, 1, 2), (0, 1, 2)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dk = dk.reshape(dh_n * dw_n, cin, n).astype(kbig.dtype)
+    k2 = kbig.reshape(dh_n * dw_n * cin, n)
+    dq = jax.lax.dot_general(g, k2, (((3,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dxp = jnp.zeros((B, Hp, Wp, cin), jnp.float32)
+    for dh in range(dh_n):
+        for dw in range(dw_n):
+            tap = dh * dw_n + dw
+            dxp = dxp + jnp.pad(
+                dq[..., tap * cin:(tap + 1) * cin],
+                ((0, 0), (dh, dh_n - 1 - dh), (dw, dw_n - 1 - dw), (0, 0)))
+    return dxp.astype(xp.dtype), dk
+
+
+_updot.defvjp(_updot_fwd, _updot_bwd)
 
 
 def _interleave_phases(phases, s_h, s_w, cout):

@@ -294,3 +294,19 @@ def test_upsampled_conv2d_multi_parity(cins, cout, scale):
     for u, v in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(v), np.asarray(u),
                                    rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("cins,cout,scale", UPSAMPLED)
+def test_upsampled_unified_flag_parity(cins, cout, scale, monkeypatch):
+    """The gated-off unified one-dot formulation (ce.UNIFIED_UPDOT) stays
+    correct — it is kept as the measured A/B record (BASELINE.md round 4)."""
+    monkeypatch.setattr(ce, "UNIFIED_UPDOT", True)
+    test_upsampled_conv2d_multi_parity(cins, cout, scale)
+
+
+@pytest.mark.parametrize("shape,cout,k,stride", STRIDED)
+def test_strided_patchdot_flag_parity(shape, cout, k, stride, monkeypatch):
+    """The gated-off strided patch-dot forward (ce.STRIDED_PATCHDOT) stays
+    correct — kept as the measured A/B record (BASELINE.md round 4)."""
+    monkeypatch.setattr(ce, "STRIDED_PATCHDOT", True)
+    test_strided_gradient_parity(shape, cout, k, stride)

@@ -294,12 +294,23 @@ def test_composed_gradients_and_adam_step(oracle):
     ref_params, _ = port_weights(net)  # re-port AFTER the torch step
     flat_new = jax.tree_util.tree_flatten_with_path(new_params)[0]
     flat_ref = dict(jax.tree_util.tree_flatten_with_path(ref_params)[0])
-    worst = 0.0
+    flat_g = dict(jax.tree_util.tree_flatten_with_path(grads)[0])
+    # Element-wise bound accounting for Adam's first-step sensitivity
+    # (|du/dg| <= 1/(|g|+eps) for u = g/(|g|+eps)): a verified gradient
+    # agreement of delta can move the post-step parameter by up to
+    # lr*min(2, delta/(|g|+eps)) — ~2*lr on cancellation-residue elements
+    # (|g| ~ eps, where the engine's dot reformulations reorder sums vs
+    # torch), ~3e-5-tight where the gradient is meaningful.
+    lr, eps_adam = 1e-4, 1e-6
+    moved = 0.0
     for path, val in flat_new:
-        diff = float(jnp.abs(val - flat_ref[path]).max())
-        worst = max(worst, diff)
-        assert diff < 3e-5, (f"post-Adam param mismatch at "
-                             f"{jax.tree_util.keystr(path)}: {diff}")
-    # updates are ~lr=1e-4 in magnitude; 3e-5 means the steps agree in
-    # direction and scale everywhere
-    assert worst > 0.0  # the step actually moved parameters
+        g = np.abs(np.asarray(flat_g[path]))
+        delta = 1e-3 * g + 1e-4 * max(float(g.max()), 1e-12)
+        allowed = 3e-5 + lr * np.minimum(2.0, delta / (g + eps_adam))
+        diff = np.abs(np.asarray(val - flat_ref[path]))
+        moved = max(moved, float(diff.max()))
+        worst = float((diff - allowed).max())
+        assert worst <= 0.0, (f"post-Adam param mismatch at "
+                              f"{jax.tree_util.keystr(path)}: exceeds the "
+                              f"sensitivity bound by {worst}")
+    assert moved > 0.0  # the step actually moved parameters

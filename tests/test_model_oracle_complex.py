@@ -406,7 +406,21 @@ def test_composed_gradients_and_adam_step_complex(oracle_c):
     ref_params, _ = port_weights(net)
     flat_new = jax.tree_util.tree_flatten_with_path(new_params)[0]
     flat_ref = dict(jax.tree_util.tree_flatten_with_path(ref_params)[0])
+    flat_g = dict(jax.tree_util.tree_flatten_with_path(grads)[0])
+    # Element-wise bound that accounts for Adam's first-step sensitivity:
+    # u = g/(|g|+eps) has |du/dg| <= 1/(|g|+eps), so a verified gradient
+    # agreement of delta = rtol_g*|g| + atol_g*max|g| can legitimately move
+    # the post-step parameter by up to lr*min(2, delta/(|g|+eps)) — ~2*lr on
+    # cancellation-residue elements with |g| ~ eps (the conv engine's dot
+    # reformulations reorder those sums vs torch), and ~3e-5-tight where the
+    # gradient is meaningful.
+    lr, eps_adam = 1e-4, 1e-6
     for path, val in flat_new:
-        diff = float(jnp.abs(val - flat_ref[path]).max())
-        assert diff < 3e-5, (f"post-Adam param mismatch at "
-                             f"{jax.tree_util.keystr(path)}: {diff}")
+        g = np.abs(np.asarray(flat_g[path]))
+        delta = 5e-3 * g + 3e-4 * max(float(g.max()), 1e-12)
+        allowed = 3e-5 + lr * np.minimum(2.0, delta / (g + eps_adam))
+        diff = np.abs(np.asarray(val - flat_ref[path]))
+        worst = float((diff - allowed).max())
+        assert worst <= 0.0, (f"post-Adam param mismatch at "
+                              f"{jax.tree_util.keystr(path)}: exceeds the "
+                              f"sensitivity bound by {worst}")
