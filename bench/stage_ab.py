@@ -173,6 +173,35 @@ def enc_patchdot(x, w, stride, padding):
     return ce.conv2d_strided_tuned(x, w, stride, padding)
 
 
+# (name, H, W, cin, cout) — complex-packed SA convs (k7, stride 1 'same')
+SA_STAGES = [
+    ("sa128", 128, 128, 4, 2),
+    ("sa64", 64, 64, 4, 2),
+    ("sa32", 32, 32, 4, 2),
+]
+
+
+def sa_variants():
+    def mk(mode):
+        def f(x, w):
+            old = ce.SAME_BWD
+            ce.SAME_BWD = mode
+            try:
+                return ce.conv2d_same_tuned(x, w)
+            finally:
+                ce.SAME_BWD = old
+        return f
+    return [("bwd_rowdot", mk("rowdot")), ("bwd_patchdot", mk("patchdot")),
+            ("xla_conv", lambda x, w: _conv_same_xla(x, w))]
+
+
+def _conv_same_xla(x, w):
+    p = w.shape[0] // 2
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((p, p), (p, p)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 def grad_of(fn, *args_template):
     def vg(*args):
         def loss(*a):
@@ -183,14 +212,32 @@ def grad_of(fn, *args_template):
 
 
 def main():
+    global B
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--stages", default=None)
     ap.add_argument("--skip-bwd", action="store_true")
+    ap.add_argument("--batch", type=int, default=B)
     args = ap.parse_args()
+    B = args.batch
     want = set(args.stages.split(",")) if args.stages else None
     measure_rtt()
     key = jax.random.PRNGKey(0)
+
+    for name, H, W, cin, cout in SA_STAGES:
+        if want and name not in want:
+            continue
+        x = jax.random.normal(key, (B, H, W, cin)).astype(DT)
+        w = jax.random.normal(key, (7, 7, cin, cout)).astype(DT) * 0.1
+        for vname, fn in sa_variants():
+            try:
+                tf = time_rep(fn, (x, w), args.reps)
+                tb = (np.nan if args.skip_bwd
+                      else time_rep(grad_of(fn), (x, w), args.reps))
+                print(f"{name:7s} {vname:16s} {tf:8.3f} {tb:11.3f}", flush=True)
+            except Exception as e:
+                print(f"{name:7s} {vname:16s} FAILED {type(e).__name__}: "
+                      f"{str(e)[:120]}", flush=True)
 
     print(f"{'stage':7s} {'variant':16s} {'fwd ms':>8s} {'fwd+bwd ms':>11s}")
     for name, H, W, cins, cout, scale in DEC_STAGES:

@@ -95,6 +95,15 @@ class Quirks:
     complex_maxpool_is_avg: bool = True
     loss_one_minus_alpha: bool = True
     nan_gate_loss_only: bool = False
+    # polar_resynthesis: the reference resynthesizes EVERY audio stream
+    # through a mag/atan2(+eps) polar decomposition
+    # (network_functions.py:213-221) even where the complex spectrogram is
+    # already in hand; mag*e^{i*atan2+eps} == (re, im) up to the eps shift
+    # (~1e-6 relative), so default False feeds the iSTFT directly and saves
+    # ~4 full-resolution f32 passes per stream each step (measured ~3 ms/step
+    # at batch 128; BASELINE.md round 4). True restores the bit-faithful
+    # round trip (parity tests pin it).
+    polar_resynthesis: bool = False
 
     @classmethod
     def idiomatic(cls) -> "Quirks":

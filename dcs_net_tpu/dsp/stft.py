@@ -249,13 +249,23 @@ def spec_to_wave(
     atan2_eps: float,
     pad_top: bool = True,
     length: Optional[int] = None,
+    polar: bool = True,
 ) -> jnp.ndarray:
-    """CArray spectrogram -> waveform through the reference's mag/atan2(+eps)
-    polar decomposition (network_functions.py:213-221, 244-247). The eps-shifted
-    atan2 makes this NOT the identity on the complex values — faithful parity
-    requires routing through polar exactly as the reference does."""
-    return polar_to_wave(
-        spec.abs(), spec.angle(atan2_eps), cfg, pad_top=pad_top, length=length)
+    """CArray spectrogram -> waveform.
+
+    polar=True routes through the reference's mag/atan2(+eps) polar
+    decomposition (network_functions.py:213-221, 244-247); the eps-shifted
+    atan2 makes that NOT quite the identity on the complex values, so
+    bit-faithful parity requires it. polar=False feeds the spectrogram to the
+    iSTFT directly — mathematically mag*e^{i*atan2(im, re)} == (re, im), so
+    the two differ only by the eps shift (O(eps) relative, ~1e-6), while the
+    polar path costs 4 extra full-resolution f32 passes (abs, atan2, sin/cos
+    + muls) per stream plus their AD transposes (Quirks.polar_resynthesis)."""
+    if polar:
+        return polar_to_wave(
+            spec.abs(), spec.angle(atan2_eps), cfg,
+            pad_top=pad_top, length=length)
+    return istft(pad_bins(spec, cfg, pad_top=pad_top), cfg, length=length)
 
 
 def expected_length(cfg: STFTConfig, n_frames: int) -> int:

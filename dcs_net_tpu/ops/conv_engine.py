@@ -130,6 +130,40 @@ def _wgrad_patchdot(x, g, K):
     return jnp.transpose(m, (1, 2, 0, 3))          # (K, K, Cin, Cout)
 
 
+def _wgrad_rowdot(x, g, K):
+    """dw for the stride-1 'same' conv WITHOUT materializing the K*K*Cout
+    patch tensor (at batch 128 the SA convs' patches(g) concat alone measured
+    2.08 ms each, a 411 MB intermediate).
+
+    Per kernel row kh: ONE dot contracting (B, H) gives
+        R[w', ci, w, co] = sum_{b,h} x_pad[b, h+kh, w', ci] * g[b, h, w, co]
+    and dw[kh, kw] = sum_w R[w+kw, :, w, :] — K tiny diagonal sums of a
+    (W+2p, Cin, W, Cout) table. K dots total, each with full-depth B*H
+    contraction; no blown-up intermediate."""
+    p = K // 2
+    B, H, W, cin = x.shape
+    cout = g.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+    out_rows = []
+    for kh in range(K):
+        lhs = jax.lax.slice(xp, (0, kh, 0, 0), (B, kh + H, W + 2 * p, cin))
+        r = jax.lax.dot_general(lhs, g, (((0, 1), (0, 1)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        taps = []
+        for kw in range(K):
+            d = jnp.diagonal(r, offset=-kw, axis1=0, axis2=2)  # (ci, co, W)
+            taps.append(jnp.sum(d, axis=-1))
+        out_rows.append(jnp.stack(taps))                       # (K, ci, co)
+    return jnp.stack(out_rows)                                 # (K, K, ci, co)
+
+
+# bwd implementation for conv2d_same_tuned (the SA convs are its only
+# product users: k7, Cin<=4, Cout<=2). "rowdot" = XLA dgrad conv +
+# _wgrad_rowdot; "patchdot" = the r3 shared-patches formulation. Chosen by
+# the stage A/B at batch 128 (bench/stage_ab.py --stages sa*, BASELINE.md).
+SAME_BWD = "rowdot"
+
+
 def _dgrad_xla(g, w):
     K = w.shape[0]
     p = K // 2
@@ -194,8 +228,12 @@ def _vjp_fwd(x, w):
 def _vjp_bwd(res, g):
     x, w = res
     g = g.astype(x.dtype)
-    dx = _dgrad_patchdot(g, w).astype(x.dtype)
-    dw = _wgrad_patchdot(x, g, w.shape[0]).astype(w.dtype)
+    if SAME_BWD == "rowdot":
+        dx = _dgrad_xla(g, w).astype(x.dtype)
+        dw = _wgrad_rowdot(x, g, w.shape[0]).astype(w.dtype)
+    else:
+        dx = _dgrad_patchdot(g, w).astype(x.dtype)
+        dw = _wgrad_patchdot(x, g, w.shape[0]).astype(w.dtype)
     return dx, dw
 
 
@@ -454,11 +492,12 @@ def _fwd_dispatch_multi(xs, ws):
             Cin = w.shape[2]
             xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
             w2 = jnp.transpose(w, (2, 0, 1, 3)).reshape(Cin, K * K * Cout)
+            # per-dot cast: f32 T intermediates double this branch's HBM
+            # traffic (see upsampled tap-fold note)
             tj = jax.lax.dot_general(
                 xp, w2.astype(x.dtype), (((3,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32).astype(x.dtype)
             t = tj if t is None else t + tj
-        t = t.astype(xs[0].dtype)
         acc = jnp.zeros((B, H, W, Cout), jnp.float32)
         for kh in range(K):
             for kw in range(K):
@@ -652,11 +691,14 @@ def upsampled_conv2d_multi(xs, ws, scale: Tuple[int, int]) -> jnp.ndarray:
                     xp = jnp.pad(x, ((0, 0), (plh, prh), (plw, prw), (0, 0)))
                     w2 = jnp.transpose(kern, (2, 0, 1, 3)).reshape(
                         Cin, ndh * ndw * Cout).astype(x.dtype)
+                    # T back in x.dtype per-dot: at batch 128 the f32 T
+                    # intermediates of this branch measured 0.42 ms x 8 dots
+                    # at dec5 (138 MB each written to HBM); the MXU still
+                    # accumulates each dot in f32 internally
                     tj = jax.lax.dot_general(
                         xp, w2, (((3,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32).astype(x.dtype)
                     t = tj if t is None else t + tj
-                t = t.astype(xs[0].dtype)
                 acc = jnp.zeros((B, H, W, Cout), jnp.float32)
                 for jh in range(ndh):
                     for jw in range(ndw):

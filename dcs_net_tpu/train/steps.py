@@ -65,25 +65,38 @@ def run_model_and_masks(
     q = cfg.quirks
     eps = cfg.model.atan2_eps
     pad_top = q.istft_pad_top_bin
+    polar = q.polar_resynthesis
+    cx, sub = cfg.model.complex_valued, cfg.model.subtractive
 
     def to_wave(mag, phase):
         return dsp.polar_to_wave(mag, phase, cfg.stft, pad_top=pad_top)
 
-    noise_mag, noise_phase = batch.noise.abs(), batch.noise.angle(eps)
-    noisy_mag, noisy_phase = batch.noisy.abs(), batch.noisy.angle(eps)
-    clean_mag, clean_phase = batch.clean.abs(), batch.clean.angle(eps)
+    # the real family needs the polar pieces regardless (magnitude is the
+    # network input, the noisy phase resynthesizes the predictions); the
+    # complex family touches specs only, so with polar_resynthesis=False no
+    # polar decomposition exists anywhere in its step
+    if not cx:
+        noise_mag = batch.noise.abs()
+        noisy_mag, noisy_phase = batch.noisy.abs(), batch.noisy.angle(eps)
     # one batched iSTFT for the three reference streams (3B x T x n_fft
     # matmul instead of three B-sized ones — better MXU tiling)
-    ref_waves = to_wave(
-        jnp.stack([noise_mag, noisy_mag, clean_mag]),
-        jnp.stack([noise_phase, noisy_phase, clean_phase]))
+    if polar:
+        ref_waves = to_wave(
+            jnp.stack([batch.noise.abs(), batch.noisy.abs(),
+                       batch.clean.abs()]),
+            jnp.stack([batch.noise.angle(eps), batch.noisy.angle(eps),
+                       batch.clean.angle(eps)]))
+    else:
+        ref_stack = CArray(
+            jnp.stack([batch.noise.re, batch.noisy.re, batch.clean.re]),
+            jnp.stack([batch.noise.im, batch.noisy.im, batch.clean.im]))
+        ref_waves = dsp.spec_to_wave(ref_stack, cfg.stft, atan2_eps=eps,
+                                     pad_top=pad_top, polar=False)
     out: Dict[str, Any] = {
         "noise_audio": ref_waves[0],
         "noisy_audio": ref_waves[1],
         "clean_audio": ref_waves[2],
     }
-
-    cx, sub = cfg.model.complex_valued, cfg.model.subtractive
     if sub:
         if not cx:  # DRS (network_functions.py:224-232)
             target_mask = M.real_subtractive_target(noise_mag, noisy_mag)
@@ -108,7 +121,8 @@ def run_model_and_masks(
                 jnp.stack([pred_noise.re, pred_clean.re]),
                 jnp.stack([pred_noise.im, pred_clean.im]))
             pred_waves = dsp.spec_to_wave(
-                stacked, cfg.stft, atan2_eps=eps, pad_top=pad_top)
+                stacked, cfg.stft, atan2_eps=eps, pad_top=pad_top,
+                polar=polar)
             out.update(
                 target_mask=target_mask, pred_mask=pred_mask,
                 predict_noise_audio=pred_waves[0],
@@ -127,7 +141,8 @@ def run_model_and_masks(
             out.update(
                 pred_mask=pred_mask,
                 predict_clean_audio=dsp.spec_to_wave(
-                    pred_clean, cfg.stft, atan2_eps=eps, pad_top=pad_top))
+                    pred_clean, cfg.stft, atan2_eps=eps, pad_top=pad_top,
+                    polar=polar))
     return out
 
 

@@ -310,3 +310,14 @@ def test_strided_patchdot_flag_parity(shape, cout, k, stride, monkeypatch):
     correct — kept as the measured A/B record (BASELINE.md round 4)."""
     monkeypatch.setattr(ce, "STRIDED_PATCHDOT", True)
     test_strided_gradient_parity(shape, cout, k, stride)
+
+
+@pytest.mark.parametrize("mode", ["rowdot", "patchdot"])
+def test_same_bwd_modes_parity(mode, monkeypatch):
+    """Both conv2d_same_tuned backward implementations (row-dot wgrad vs
+    shared-patches) stay correct; the product default is chosen by the
+    batch-128 stage A/B (BASELINE.md round 4)."""
+    monkeypatch.setattr(ce, "SAME_BWD", mode)
+    for shape, cout, k in [((2, 9, 8, 4), 2, 7), ((2, 8, 8, 2), 1, 7),
+                           ((2, 10, 7, 3), 2, 3)]:
+        test_gradient_parity(shape, cout, k)

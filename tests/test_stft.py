@@ -120,3 +120,24 @@ def test_stft_jit_and_grad():
     g = jax.grad(loss)(x)
     assert g.shape == x.shape
     assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_spec_to_wave_direct_matches_polar(rng):
+    """Quirks.polar_resynthesis=False (direct iSTFT) deviates from the
+    faithful polar round trip only by the atan2 eps shift: O(eps) relative
+    (the quirk's contract; core/config.py Quirks docstring)."""
+    from dcs_net_tpu.utils.carray import CArray
+
+    cfg = STFTConfig()
+    spec = CArray(
+        jnp.asarray(rng.standard_normal((2, 256, 9)).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((2, 256, 9)).astype(np.float32)))
+    eps = 1e-6
+    w_polar = dsp.spec_to_wave(spec, cfg, atan2_eps=eps, polar=True)
+    w_direct = dsp.spec_to_wave(spec, cfg, atan2_eps=eps, polar=False)
+    scale = float(jnp.abs(w_polar).max())
+    assert float(jnp.abs(w_polar - w_direct).max()) < 50 * eps * scale
+    # and with a zero eps the polar path IS the identity decomposition
+    w_polar0 = dsp.spec_to_wave(spec, cfg, atan2_eps=0.0, polar=True)
+    np.testing.assert_allclose(np.asarray(w_polar0), np.asarray(w_direct),
+                               rtol=1e-5, atol=1e-6)
