@@ -24,6 +24,11 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--ckpt-dir", default=None)
     p.add_argument("--idiomatic", action="store_true",
                    help="fix reference quirks instead of reproducing them")
+    p.add_argument("--streaming", action="store_true",
+                   help="streaming preset: unidirectional LSTM + time-major "
+                        "latent, the configuration under which chunked "
+                        "enhancement with --carry is exactly a full pass "
+                        "(cli/enhance.py)")
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default=None,
                    help="matmul/conv operand dtype (bfloat16 = TPU fast path, "
                         "f32 accumulation; default float32 parity mode)")
@@ -35,7 +40,8 @@ def build_config(args) -> Config:
     if args.config_json:
         with open(args.config_json) as f:
             return Config.from_json(f.read())
-    cfg = config_for_variant(args.variant, faithful=not args.idiomatic)
+    cfg = config_for_variant(args.variant, faithful=not args.idiomatic,
+                             streaming=getattr(args, "streaming", False))
     if getattr(args, "dtype", None):
         import dataclasses
 

@@ -16,10 +16,24 @@ def main(argv=None) -> None:
     p.add_argument("--ckpt-dir", default=None)
     p.add_argument("--stream", action="store_true",
                    help="fixed-shape chunked streaming (constant compile)")
+    p.add_argument("--carry", action="store_true",
+                   help="thread LSTM (h, c) across chunks (implies --stream; "
+                        "uses the streaming config preset: unidirectional "
+                        "LSTM + time-major latent — exact chunked==full when "
+                        "--overlap 0)")
     p.add_argument("--chunk-frames", type=int, default=256)
-    p.add_argument("--overlap", type=int, default=64)
+    p.add_argument("--overlap", type=int, default=None,
+                   help="chunk overlap frames (default 64, or 0 with --carry "
+                        "where non-overlapping tiling keeps the carry exact)")
     p.add_argument("--idiomatic", action="store_true")
+    p.add_argument("--config-json", default=None,
+                   help="load a serialized Config (overrides variant flags; "
+                        "a checkpoint dir's config.json still wins)")
     args = p.parse_args(argv)
+    if args.carry:
+        args.stream = True
+    if args.overlap is None:
+        args.overlap = 0 if args.carry else 64
 
     import jax
     import jax.numpy as jnp
@@ -29,7 +43,13 @@ def main(argv=None) -> None:
     from dcs_net_tpu.models.enhance import enhance_full, enhance_streaming
     from dcs_net_tpu.models.unet import DCSNet
 
-    cfg = config_for_variant(args.variant, faithful=not args.idiomatic)
+    cfg = config_for_variant(args.variant, faithful=not args.idiomatic,
+                             streaming=args.carry)
+    if args.config_json:
+        from dcs_net_tpu.core.config import Config
+
+        with open(args.config_json) as f:
+            cfg = Config.from_json(f.read())
     if args.ckpt_dir:
         import os
 
@@ -40,6 +60,14 @@ def main(argv=None) -> None:
             with open(cfg_path) as f:
                 cfg = Config.from_json(f.read())
             print(f"using config saved with checkpoint ({cfg.variant})")
+    if args.carry and cfg.model.lstm_bidir:
+        p.error(
+            "--carry needs a model trained with the streaming preset "
+            "(lstm_bidir=False, lstm_time_major=True): a bidirectional "
+            "LSTM cannot carry state across chunks. Train one with "
+            "`python -m dcs_net_tpu.cli.train {variant} --streaming`, or "
+            "drop --carry to stream this checkpoint with mask crossfade "
+            "only.".format(variant=args.variant))
     wave, sr = read_wav(args.infile)
     if sr != cfg.data.sr:
         wave = resample(wave, sr, cfg.data.sr)
@@ -74,7 +102,8 @@ def main(argv=None) -> None:
     if args.stream:
         out = enhance_streaming(model, variables, x, cfg,
                                 chunk_frames=args.chunk_frames,
-                                overlap=args.overlap)
+                                overlap=args.overlap,
+                                carry_lstm_state=args.carry)
     else:
         out = jax.jit(lambda v, w: enhance_full(model, v, w, cfg))(variables, x)
     out = np.asarray(out)[0]

@@ -311,11 +311,25 @@ class Config:
         return dataclasses.replace(self, **kw)
 
 
-def config_for_variant(variant: str, *, faithful: bool = True, **overrides: Any) -> Config:
-    """Build the default config for one of {dr, dc, drs, dcs}."""
+def config_for_variant(variant: str, *, faithful: bool = True,
+                       streaming: bool = False, **overrides: Any) -> Config:
+    """Build the default config for one of {dr, dc, drs, dcs}.
+
+    ``streaming=True`` applies the long-utterance streaming preset:
+    unidirectional LSTM + time-major latent flatten, the combination under
+    which chunked enhancement with LSTM state carry is EXACTLY equal to a
+    full pass (models/enhance.py enhance_streaming; tests/test_streaming.py).
+    A bidirectional model cannot carry state across chunks (the backward
+    pass would need future frames), and the reference's f-major flatten
+    breaks sequence continuity at chunk boundaries.
+    """
     complex_valued, subtractive = _axes_for_variant(variant)
+    model = ModelConfig(complex_valued=complex_valued, subtractive=subtractive)
+    if streaming:
+        model = dataclasses.replace(
+            model, lstm_bidir=False, lstm_time_major=True)
     cfg = Config(
-        model=ModelConfig(complex_valued=complex_valued, subtractive=subtractive),
+        model=model,
         quirks=Quirks() if faithful else Quirks.idiomatic(),
     )
     if overrides:

@@ -445,6 +445,72 @@ def _vjp_bwd_strided(stride, padding, res, g):
 conv2d_strided_tuned.defvjp(_vjp_fwd_strided, _vjp_bwd_strided)
 
 
+def _s2d_pad(x, K, stride, padding):
+    """Space-to-depth with the strided conv's geometry: (B, H, W, C) ->
+    (B, nh, nw, s_h*s_w*C) where lane order is ((a, b), ci) for input phase
+    (a, b) = (h mod s_h, w mod s_w), padded so a VALID stride-1 conv with
+    the folded ceil(K/s) kernel reproduces conv2d(x, w, stride, 'same').
+
+    W phases fold via a FREE reshape ((w, c) -> (w/s_w, s_w*c) reinterprets
+    the same memory); H phases cost one relayout. Same geometry as
+    _strided_patches, shared constants."""
+    s_h, s_w = stride
+    B, H, W, C = x.shape
+    p = padding
+    HO = (H + 2 * p - K) // s_h + 1
+    WO = (W + 2 * p - K) // s_w + 1
+    nh = (K - 1) // s_h + HO
+    nw = (K - 1) // s_w + WO
+    xp = jnp.pad(x, ((0, 0), (p, s_h * nh - H - p),
+                     (p, s_w * nw - W - p), (0, 0)))
+    if s_w > 1:
+        # (w, c) merge is free, but lane order must be (b, ci) per chunk,
+        # which IS the natural layout
+        xp = xp.reshape(B, s_h * nh, nw, s_w * C)
+    cl = xp.shape[-1]
+    if s_h > 1:
+        xp = xp.reshape(B, nh, s_h, nw, cl)
+        xp = jnp.transpose(xp, (0, 1, 3, 2, 4)).reshape(B, nh, nw, s_h * cl)
+    return xp, (HO, WO)
+
+
+def _fold_kernel_s2d(w, stride):
+    """(K, K, C, Cout) -> (ceil(K/s_h), ceil(K/s_w), s_h*s_w*C, Cout) with
+    wf[dh, dw, ((a*s_w + b)*C + ci), co] = w[s_h*dh + a, s_w*dw + b, ci, co]
+    (zero where the source index exceeds K-1) — matching _s2d_pad's lanes."""
+    s_h, s_w = stride
+    K, Kw, C, Cout = w.shape
+    kh = -(-K // s_h)
+    kw = -(-Kw // s_w)
+    wp = jnp.pad(w, ((0, kh * s_h - K), (0, kw * s_w - Kw), (0, 0), (0, 0)))
+    wp = wp.reshape(kh, s_h, kw, s_w, C, Cout)
+    wp = jnp.transpose(wp, (0, 2, 1, 3, 4, 5))
+    return wp.reshape(kh, kw, s_h * s_w * C, Cout)
+
+
+def conv2d_strided_s2d(x: jnp.ndarray, w: jnp.ndarray,
+                       stride: Tuple[int, int], padding: int) -> jnp.ndarray:
+    """conv2d(x, w, stride, 'same'-ish padding) as space-to-depth + a VALID
+    stride-1 conv with the phase-folded kernel — the classic TPU trick for
+    strided stem convs: every direction (fwd, dgrad, wgrad via plain AD)
+    becomes a stride-1 conv over s_h*s_w-times-fatter channels, which XLA's
+    direct emitters handle well, replacing the phase-decomposed custom VJP
+    whose tap dots at batch 128 drew ~5 ms/step of batch-minor relayout
+    copies at enc0 alone."""
+    xs, (HO, WO) = _s2d_pad(x, w.shape[0], stride, padding)
+    wf = _fold_kernel_s2d(w, stride).astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        xs, wf, (1, 1), ((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y[:, :HO, :WO]
+
+
+# strided conv routing: "s2d" (space-to-depth + stride-1 conv, plain AD) vs
+# "phase" (XLA fwd/wgrad + phase-decomposed dgrad custom VJP, the r3 path).
+# Chosen per the batch-128 stage A/B (bench/stage_ab.py; BASELINE.md r4).
+STRIDED_MODE = "s2d"
+
+
 def use_tuned_strided(kernel_size: int, stride: Tuple[int, int], padding: int,
                       cin: int, cout: int) -> bool:
     """Phase-dgrad pays off when Cin is small (the dx side is degenerate).
@@ -464,6 +530,8 @@ def conv2d(x: jnp.ndarray, w: jnp.ndarray, stride: Tuple[int, int],
     K, _, cin, cout = w.shape
     if use_tuned(K, stride, padding, cout):
         return conv2d_same_tuned(x, w)
+    if stride != (1, 1) and max(stride) <= 2 and STRIDED_MODE == "s2d":
+        return conv2d_strided_s2d(x, w, stride, padding)
     if use_tuned_strided(K, stride, padding, cin, cout):
         return conv2d_strided_tuned(x, w, stride, padding)
     return jax.lax.conv_general_dilated(

@@ -321,3 +321,46 @@ def test_same_bwd_modes_parity(mode, monkeypatch):
     for shape, cout, k in [((2, 9, 8, 4), 2, 7), ((2, 8, 8, 2), 1, 7),
                            ((2, 10, 7, 3), 2, 3)]:
         test_gradient_parity(shape, cout, k)
+
+
+@pytest.mark.parametrize("shape,cout,k,stride", [
+    ((2, 12, 12, 2), 6, 7, (2, 2)),
+    ((2, 11, 9, 3), 4, 5, (2, 1)),
+    ((2, 8, 9, 4), 5, 3, (2, 2)),
+    ((2, 13, 10, 5), 4, 7, (2, 1)),
+])
+def test_strided_s2d_parity(shape, cout, k, stride):
+    """conv2d_strided_s2d (space-to-depth + folded stride-1 conv) matches
+    XLA's strided conv in forward and both gradients."""
+    x, w = _data(shape, cout, k, seed=9)
+    p = k // 2
+
+    def ref(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, stride, ((p, p), (p, p)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    def s2d(x, w):
+        return ce.conv2d_strided_s2d(x, w, stride, p)
+
+    np.testing.assert_allclose(np.asarray(s2d(x, w)), np.asarray(ref(x, w)),
+                               rtol=1e-4, atol=1e-4)
+    ga = jax.grad(lambda x, w: jnp.sum(jnp.sin(ref(x, w))), (0, 1))(x, w)
+    gb = jax.grad(lambda x, w: jnp.sum(jnp.sin(s2d(x, w))), (0, 1))(x, w)
+    for u, v in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(v), np.asarray(u),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_conv2d_dispatch_strided_mode(monkeypatch):
+    """The conv2d dispatcher agrees with XLA under both STRIDED_MODE values."""
+    x, w = _data((2, 12, 12, 3), 6, 5, seed=11)
+    p = 2
+    want = jax.lax.conv_general_dilated(
+        x, w, (2, 2), ((p, p), (p, p)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    for mode in ("s2d", "phase"):
+        monkeypatch.setattr(ce, "STRIDED_MODE", mode)
+        np.testing.assert_allclose(
+            np.asarray(ce.conv2d(x, w, (2, 2), p)), np.asarray(want),
+            rtol=1e-4, atol=1e-4)
