@@ -66,7 +66,8 @@ def main() -> None:
     cfg = config_for_variant(args.variant)
     cfg = cfg.replace(
         data=cfg.data.__class__(crop_samples=args.crop, batch_size=args.batch),
-        model=dataclasses.replace(cfg.model, compute_dtype=args.dtype))
+        model=dataclasses.replace(cfg.model, compute_dtype=args.dtype),
+        stft=dataclasses.replace(cfg.stft, dft_dtype=args.dtype))
 
     devices = jax.devices()
     n_chips = len(devices)

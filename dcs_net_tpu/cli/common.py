@@ -45,8 +45,9 @@ def build_config(args) -> Config:
     if getattr(args, "dtype", None):
         import dataclasses
 
-        cfg = cfg.replace(model=dataclasses.replace(
-            cfg.model, compute_dtype=args.dtype))
+        cfg = cfg.replace(
+            model=dataclasses.replace(cfg.model, compute_dtype=args.dtype),
+            stft=dataclasses.replace(cfg.stft, dft_dtype=args.dtype))
     data_kw = {}
     if args.synthetic:
         root = os.path.join(args.log_dir or "runs", "synthetic_data")

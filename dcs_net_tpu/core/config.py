@@ -51,6 +51,12 @@ class STFTConfig:
     center: bool = True
     pad_mode: str = "reflect"
     drop_dc: bool = True
+    # operand dtype of the DFT/iDFT basis matmuls (f32 accumulation either
+    # way). "bfloat16" halves the analysis/resynthesis HBM traffic (~4e-3
+    # relative spectral error — the same class of rounding the bf16 model
+    # path already accepts); parity tests pin float32. The bf16 train CLI /
+    # bench set this alongside ModelConfig.compute_dtype.
+    dft_dtype: str = "float32"
 
     @property
     def n_bins(self) -> int:

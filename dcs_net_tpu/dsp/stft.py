@@ -125,10 +125,17 @@ def stft(x: jnp.ndarray, cfg: STFTConfig, *, use_fft: bool = False) -> CArray:
         im = jnp.imag(spec) * scale
     else:
         cos_b, sin_b = _dft_basis(cfg.n_fft, cfg.drop_dc)
-        cos_b = jnp.asarray(cos_b, x.dtype) * scale
-        sin_b = jnp.asarray(sin_b, x.dtype) * scale
-        re = frames @ cos_b  # (..., T, F) — MXU contraction
-        im = frames @ sin_b
+        # basis matmuls in cfg.dft_dtype operands, f32 accumulation; the
+        # normalization scale applies post-dot in f32 so a bf16 basis only
+        # rounds the cos/sin values themselves
+        dt = jnp.dtype(cfg.dft_dtype)
+        fr = frames.astype(dt)
+        re = jax.lax.dot_general(
+            fr, jnp.asarray(cos_b, dt), (((fr.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(x.dtype) * scale
+        im = jax.lax.dot_general(
+            fr, jnp.asarray(sin_b, dt), (((fr.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(x.dtype) * scale
     # (..., T, F) -> (..., F, T): reference layout (data.py:111 "F x T")
     return CArray(jnp.swapaxes(re, -1, -2), jnp.swapaxes(im, -1, -2))
 
@@ -156,7 +163,14 @@ def istft(
         re = re * (cfg.n_fft ** 0.5)
         im = im * (cfg.n_fft ** 0.5)
     cos_b, sin_b = _idft_basis(cfg.n_fft)
-    frames = re @ jnp.asarray(cos_b, re.dtype) + im @ jnp.asarray(sin_b, re.dtype)
+    dt = jnp.dtype(cfg.dft_dtype)
+    dn = (((re.ndim - 1,), (0,)), ((), ()))
+    frames = (jax.lax.dot_general(
+        re.astype(dt), jnp.asarray(cos_b, dt), dn,
+        preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(
+            im.astype(dt), jnp.asarray(sin_b, dt), dn,
+            preferred_element_type=jnp.float32)).astype(spec.re.dtype)
     window = get_window(cfg, re.dtype)
     frames = frames * window  # (..., T, n_fft)
 

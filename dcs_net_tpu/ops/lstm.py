@@ -82,7 +82,9 @@ def _lstm_scan_multi(xp: jnp.ndarray, w_hh: jnp.ndarray, h0: jnp.ndarray,
     # step incl. AD transposes). 8 body copies per iteration cut that ~8x;
     # the transposed (backward) scan inherits the same unroll. TPU-only:
     # on CPU the 8x body duplication just bloats test compile times.
-    unroll = 16 if jax.default_backend() == "tpu" else 1
+    # 8, not 16: the round-4 batch-128 profile measured the while self-time
+    # GROWING 4.0 -> 6.0 ms/step at unroll 16 (bigger bodies pipeline worse)
+    unroll = 8 if jax.default_backend() == "tpu" else 1
     (h_f, c_f), hs = jax.lax.scan(step, (h0, c0), xp, unroll=unroll)
     return hs, (h_f, c_f)
 

@@ -141,3 +141,24 @@ def test_spec_to_wave_direct_matches_polar(rng):
     w_polar0 = dsp.spec_to_wave(spec, cfg, atan2_eps=0.0, polar=True)
     np.testing.assert_allclose(np.asarray(w_polar0), np.asarray(w_direct),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_stft_bf16_basis_close_to_f32(rng):
+    """dft_dtype='bfloat16' stays within the bf16 rounding class (~4e-3
+    relative) of the f32 transform, forward and round trip."""
+    import dataclasses
+
+    from dcs_net_tpu.utils.carray import CArray
+
+    x = jnp.asarray(rng.standard_normal((2, 4000)).astype(np.float32) * 0.3)
+    cfg32 = STFTConfig()
+    cfg16 = dataclasses.replace(cfg32, dft_dtype="bfloat16")
+    s32 = dsp.stft(x, cfg32)
+    s16 = dsp.stft(x, cfg16)
+    scale = float(jnp.abs(s32.re).max())
+    assert float(jnp.abs(s16.re - s32.re).max()) < 2e-2 * scale
+    assert float(jnp.abs(s16.im - s32.im).max()) < 2e-2 * scale
+    w32 = dsp.spec_to_wave(s32, cfg32, atan2_eps=1e-6, polar=False)
+    w16 = dsp.spec_to_wave(s16, cfg16, atan2_eps=1e-6, polar=False)
+    wscale = float(jnp.abs(w32).max())
+    assert float(jnp.abs(w16 - w32).max()) < 2e-2 * wscale
