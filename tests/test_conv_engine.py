@@ -364,3 +364,47 @@ def test_conv2d_dispatch_strided_mode(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(ce.conv2d(x, w, (2, 2), p)), np.asarray(want),
             rtol=1e-4, atol=1e-4)
+
+
+def test_s2d_exact_x64():
+    """conv2d_strided_s2d is an EXACT reformulation of the strided conv:
+    under float64 the forward and both plain-AD gradients agree with
+    lax.conv_general_dilated to ~1e-15 relative at every product encoder
+    shape. This pins that the composed-oracle drift seen in f32
+    (test_model_oracle_complex) is reassociation noise, not a geometry or
+    math bug (round-5 probe, bench/s2d_x64_probe.py)."""
+    shapes = [  # (H, W, cin, cout, K, stride) — encoder schedule
+        (64, 32, 2, 8, 7, (2, 2)),
+        (32, 16, 8, 16, 7, (2, 2)),
+        (16, 16, 16, 16, 5, (2, 1)),
+        (8, 8, 16, 16, 3, (2, 1)),
+    ]
+    with jax.enable_x64():
+        key = jax.random.PRNGKey(0)
+        for H, W, cin, cout, K, stride in shapes:
+            k1, k2, key = jax.random.split(key, 3)
+            x = jax.random.normal(k1, (2, H, W, cin), jnp.float64)
+            w = jax.random.normal(k2, (K, K, cin, cout), jnp.float64)
+            p = K // 2
+
+            def ref_loss(x, w):
+                y = jax.lax.conv_general_dilated(
+                    x, w, stride, ((p, p), (p, p)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                return jnp.sum(jnp.sin(y))
+
+            def s2d_loss(x, w):
+                return jnp.sum(jnp.sin(
+                    ce.conv2d_strided_s2d(x, w, stride, p)))
+
+            yr = jax.lax.conv_general_dilated(
+                x, w, stride, ((p, p), (p, p)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            ys = ce.conv2d_strided_s2d(x, w, stride, p)
+            np.testing.assert_allclose(np.asarray(ys), np.asarray(yr),
+                                       rtol=1e-12, atol=1e-12)
+            gr = jax.grad(ref_loss, (0, 1))(x, w)
+            gs = jax.grad(s2d_loss, (0, 1))(x, w)
+            for u, v in zip(gr, gs):
+                np.testing.assert_allclose(np.asarray(v), np.asarray(u),
+                                           rtol=1e-12, atol=1e-12)

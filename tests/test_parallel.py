@@ -89,19 +89,30 @@ def test_dp_step_matches_single_device():
     flat1 = jax.tree_util.tree_leaves_with_path(g1)
     flat8 = jax.tree.leaves(g8)
     assert len(flat1) == len(flat8) > 0
-    # Tolerance has two terms. (1) relative: sqrt(N)*eps_f32 ~ 2e-5 of the
-    # leaf's max gradient, 5x margin. (2) an absolute floor at 1e-6 of the
-    # GLOBAL max gradient: bias-like grads sum thousands of +-1e-3
-    # contributions that cancel to ~1e-8, and the f32 rounding of that
-    # cancelled sum is set by the contributions' scale, not by the tiny
-    # result (measured: dec0_convt.bias_i, values ~1e-8, DP delta ~3e-8).
-    # Leaves below the floor carry no trainable signal; a real DP bug (a
-    # wrong psum, a missing mean) moves meaningful leaves by a fraction of
-    # their own scale and still trips term (1).
+    # Tolerance theory (v3 — calibrated by bench/dp_delta_probe.py at this
+    # exact config). The DP delta on a leaf is f32 summation-reassociation
+    # noise ~ sqrt(N)*eps_f32 * S, where N = B*H*W summed contributions
+    # (~3.3e4 here => sqrt(N)*eps ~ 2e-5) and S is the CONTRIBUTION scale,
+    # not the leaf's own magnitude: bias/gamma/beta grads are cancelled
+    # sums (dec5_convt.bias_i: value 1.9e-6, contributions ~1e-3, measured
+    # DP delta 9.4e-6 — 5x the leaf, 1.5e-5 of its module scale). Within a
+    # module every grad sums the same cotangents, and the kernel grad
+    # (x-correlated, non-cancelling) exposes their scale — so the floor is
+    # per-MODULE: 2e-4 * modmax (~10x margin over sqrt(N)*eps; measured
+    # worst d/modmax = 7.3e-5 at initial_bn.gamma_ri), plus 2e-6 * gmax
+    # for modules whose own scale is tiny. A real DP bug (wrong psum,
+    # missing mean) moves signal-bearing leaves by O(1) of modmax and
+    # still trips.
     gmax = max(float(np.abs(np.asarray(a)).max()) for _, a in flat1)
+    mod_max = {}
+    for path, a in flat1:
+        mod = jax.tree_util.keystr(path).split("']")[0]
+        mod_max[mod] = max(mod_max.get(mod, 0.0),
+                           float(np.abs(np.asarray(a)).max()))
     for (path, a), b in zip(flat1, flat8):
         a, b = np.asarray(a), np.asarray(b)
-        tol = 1e-4 * float(np.abs(a).max()) + 1e-6 * gmax
+        mod = jax.tree_util.keystr(path).split("']")[0]
+        tol = 2e-4 * mod_max[mod] + 2e-6 * gmax
         np.testing.assert_allclose(
             b, a, rtol=0, atol=tol,
             err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
