@@ -67,7 +67,10 @@ def main() -> None:
     cfg = cfg.replace(
         data=cfg.data.__class__(crop_samples=args.crop, batch_size=args.batch),
         model=dataclasses.replace(cfg.model, compute_dtype=args.dtype),
-        stft=dataclasses.replace(cfg.stft, dft_dtype=args.dtype))
+        stft=dataclasses.replace(cfg.stft, dft_dtype=args.dtype),
+        # semantics-preserving perf flips (polar_resynthesis off, O(eps)
+        # delta); faithful parity keeps the Quirks defaults
+        quirks=cfg.quirks.perf())
 
     devices = jax.devices()
     n_chips = len(devices)

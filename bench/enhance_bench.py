@@ -42,7 +42,8 @@ def main():
     cfg = config_for_variant(args.variant)
     cfg = cfg.replace(
         model=dataclasses.replace(cfg.model, compute_dtype=args.dtype),
-        stft=dataclasses.replace(cfg.stft, dft_dtype=args.dtype))
+        stft=dataclasses.replace(cfg.stft, dft_dtype=args.dtype),
+        quirks=cfg.quirks.perf())
     model = DCSNet(cfg.model, cfg.quirks)
     sr = cfg.data.sr
     crop = cfg.data.crop_samples

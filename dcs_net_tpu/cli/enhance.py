@@ -32,6 +32,14 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
     if args.carry:
         args.stream = True
+    if args.carry and args.overlap:
+        # the LSTM state carried out of chunk c has already consumed the
+        # overlap frames chunk c+1 re-reads — carried state would be
+        # time-misaligned at every boundary (advisor r4)
+        p.error("--carry requires --overlap 0: the carried LSTM state is "
+                "time-aligned only with non-overlapping chunk tiling "
+                "(where chunked==full exactly). Drop --overlap, or drop "
+                "--carry to stream with mask crossfade only.")
     if args.overlap is None:
         args.overlap = 0 if args.carry else 64
 

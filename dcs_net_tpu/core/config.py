@@ -87,12 +87,24 @@ class Quirks:
     loss_one_minus_alpha: noise loss combined as ``1 - alpha * L`` (literal
         parenthesization, /root/reference/network_functions.py:196) rather than
         ``(1 - alpha) * L``.
+    polar_resynthesis: the reference resynthesizes EVERY audio stream
+        through a mag/atan2(+eps) polar decomposition
+        (network_functions.py:213-221) even where the complex spectrogram
+        is already in hand; mag*e^{i*(atan2+eps)} == (re, im) up to the eps
+        shift (~1e-6 relative), so False feeds the iSTFT directly and saves
+        ~4 full-resolution f32 passes per stream each step (measured
+        ~3 ms/step at batch 128; BASELINE.md round 4). True (the default,
+        per the all-True convention above) restores the bit-faithful round
+        trip; bench/perf configs flip it off
+        (tests/test_steps.py::test_polar_resynthesis_quirk_step_parity pins
+        the two paths to the eps-level bound at step level).
     nan_gate_loss_only: the reference's NaN-skip inspects only the LOSS
         (r_network.py:203-207); a NaN that appears first in the gradients
         would then poison the parameters. Default False == also gate on
-        gradient finiteness (a deliberate deviation — strictly safer, and a
-        no-op whenever the reference's gate would fire). Set True for
-        bit-faithful step-skip behavior.
+        gradient finiteness — the ONE default that deviates from the
+        all-True convention, deliberately: strictly safer, and a no-op
+        whenever the reference's gate would fire. Set True for bit-faithful
+        step-skip behavior.
     """
 
     istft_pad_top_bin: bool = True
@@ -100,16 +112,8 @@ class Quirks:
     real_ca_max_only: bool = True
     complex_maxpool_is_avg: bool = True
     loss_one_minus_alpha: bool = True
+    polar_resynthesis: bool = True
     nan_gate_loss_only: bool = False
-    # polar_resynthesis: the reference resynthesizes EVERY audio stream
-    # through a mag/atan2(+eps) polar decomposition
-    # (network_functions.py:213-221) even where the complex spectrogram is
-    # already in hand; mag*e^{i*atan2+eps} == (re, im) up to the eps shift
-    # (~1e-6 relative), so default False feeds the iSTFT directly and saves
-    # ~4 full-resolution f32 passes per stream each step (measured ~3 ms/step
-    # at batch 128; BASELINE.md round 4). True restores the bit-faithful
-    # round trip (parity tests pin it).
-    polar_resynthesis: bool = False
 
     @classmethod
     def idiomatic(cls) -> "Quirks":
@@ -119,8 +123,15 @@ class Quirks:
             real_ca_max_only=False,
             complex_maxpool_is_avg=False,
             loss_one_minus_alpha=False,
+            polar_resynthesis=False,
             nan_gate_loss_only=False,
         )
+
+    def perf(self) -> "Quirks":
+        """This quirk set with the semantics-preserving perf flips applied:
+        identical math up to O(eps) — polar_resynthesis off. Used by the
+        bench and enhance paths; faithful parity runs keep the default."""
+        return dataclasses.replace(self, polar_resynthesis=False)
 
 
 @dataclass(frozen=True)

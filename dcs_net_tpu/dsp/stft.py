@@ -130,12 +130,12 @@ def stft(x: jnp.ndarray, cfg: STFTConfig, *, use_fft: bool = False) -> CArray:
         # rounds the cos/sin values themselves
         dt = jnp.dtype(cfg.dft_dtype)
         fr = frames.astype(dt)
-        re = jax.lax.dot_general(
+        re = (jax.lax.dot_general(
             fr, jnp.asarray(cos_b, dt), (((fr.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(x.dtype) * scale
-        im = jax.lax.dot_general(
+            preferred_element_type=jnp.float32) * scale).astype(x.dtype)
+        im = (jax.lax.dot_general(
             fr, jnp.asarray(sin_b, dt), (((fr.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(x.dtype) * scale
+            preferred_element_type=jnp.float32) * scale).astype(x.dtype)
     # (..., T, F) -> (..., F, T): reference layout (data.py:111 "F x T")
     return CArray(jnp.swapaxes(re, -1, -2), jnp.swapaxes(im, -1, -2))
 

@@ -861,7 +861,8 @@ def _updot(xp: jnp.ndarray, kbig: jnp.ndarray,
     from dcs_net_tpu.ops.pallas_tapconv import tapconv_applicable, tapconv_valid
 
     if (_pallas_fwd_enabled()
-            and tapconv_applicable(xp.shape, kbig.shape)):
+            and tapconv_applicable(xp.shape, kbig.shape,
+                                   x_dtype=xp.dtype, w_dtype=kbig.dtype)):
         return tapconv_valid(xp, kbig, dh_n, dw_n)
     q = _updot_patches(xp, taps)
     cin = xp.shape[-1]
@@ -928,6 +929,17 @@ def conv2d_multi(xs, ws, stride: Tuple[int, int], padding: int) -> jnp.ndarray:
     cout = ws[0].shape[-1]
     if use_tuned(K, stride, padding, cout):
         return conv2d_same_tuned_multi(xs, ws)
+    # strided dispatch mirrors conv2d(): s2d mode folds each input's phases
+    # and sums the per-input stride-1 convs (dead in the product topology —
+    # the decoder only calls multi at stride 1 — but keeps multi- and
+    # single-input routing consistent for any config that strides a
+    # multi-input conv)
+    if stride != (1, 1) and max(stride) <= 2 and STRIDED_MODE == "s2d":
+        y = None
+        for x, w in zip(xs, ws):
+            yj = conv2d_strided_s2d(x, w, stride, padding)
+            y = yj if y is None else y + yj
+        return y
     cin_max = max(w.shape[2] for w in ws)
     if use_tuned_strided(K, stride, padding, cin_max, cout):
         return conv2d_strided_tuned_multi(xs, ws, stride, padding)

@@ -40,9 +40,12 @@ def _bytes(shape, dtype):
     return n * jnp.dtype(dtype).itemsize
 
 
-def tapconv_applicable(x_shape, w_shape, interpret: bool = False) -> bool:
+def tapconv_applicable(x_shape, w_shape, interpret: bool = False,
+                       x_dtype=jnp.bfloat16, w_dtype=jnp.bfloat16) -> bool:
     """Static gate: one batch element's working set fits VMEM and the lane
-    dims are healthy MXU shapes. x (B, Hp, Wp, Cin); w (Dh*Dw, Cin, N)."""
+    dims are healthy MXU shapes. x (B, Hp, Wp, Cin); w (Dh*Dw, Cin, N).
+    Pass the REAL operand dtypes — f32 operands double the x/w footprints
+    vs the bf16 default (advisor r4)."""
     if len(x_shape) != 4 or len(w_shape) != 3:
         return False
     b, hp, wp, cin = x_shape
@@ -54,8 +57,8 @@ def tapconv_applicable(x_shape, w_shape, interpret: bool = False) -> bool:
     # Cin tap loops M-bound — measured; see conv_engine gating rationale)
     if cin < 64 or n < 16:
         return False
-    vmem = (_bytes((hp, wp, cin), jnp.bfloat16)
-            + _bytes(w_shape, jnp.bfloat16)
+    vmem = (_bytes((hp, wp, cin), x_dtype)
+            + _bytes(w_shape, w_dtype)
             + 2 * _bytes((hp, wp, n), jnp.float32))
     return vmem <= _VMEM_BUDGET
 

@@ -67,3 +67,15 @@ def test_enhance_cli_carry_rejects_bidirectional_checkpoint(tmp_path):
     with pytest.raises(SystemExit):
         cli_enhance.main(["dcs", "--in", str(wav), "--out", str(out),
                           "--carry", "--ckpt-dir", str(ckpt_dir)])
+
+
+def test_enhance_cli_carry_rejects_overlap(tmp_path):
+    """--carry with a nonzero --overlap errors with guidance: carried LSTM
+    state is only time-aligned under non-overlapping tiling (advisor r4)."""
+    wav, cfg_path = _write_inputs(tmp_path, streaming=True)
+    out = tmp_path / "clean.wav"
+    with pytest.raises(SystemExit):
+        cli_enhance.main(["dcs", "--in", str(wav), "--out", str(out),
+                          "--carry", "--overlap", "16",
+                          "--config-json", str(cfg_path)])
+    assert not out.exists()

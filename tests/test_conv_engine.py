@@ -408,3 +408,36 @@ def test_s2d_exact_x64():
             for u, v in zip(gr, gs):
                 np.testing.assert_allclose(np.asarray(v), np.asarray(u),
                                            rtol=1e-12, atol=1e-12)
+
+
+def test_conv2d_multi_strided_mode_dispatch(monkeypatch):
+    """conv2d_multi routes strided multi-input convs consistently with
+    conv2d's STRIDED_MODE: under 's2d' the per-input s2d convs sum to the
+    channel-concat conv exactly (grad-checked); 'phase' keeps the r3 path."""
+    xs = [_data((2, 12, 12, c), 6, 5, seed=20 + c)[0] for c in (3, 2)]
+    ws = [_data((2, 12, 12, c), 6, 5, seed=30 + c)[1] for c in (3, 2)]
+    p = 2
+    xcat = jnp.concatenate(xs, axis=-1)
+    wcat = jnp.concatenate(ws, axis=2)
+    want = jax.lax.conv_general_dilated(
+        xcat, wcat, (2, 2), ((p, p), (p, p)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    for mode in ("s2d", "phase"):
+        monkeypatch.setattr(ce, "STRIDED_MODE", mode)
+        got = ce.conv2d_multi(xs, ws, (2, 2), p)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+        g = jax.grad(lambda *a: jnp.sum(jnp.sin(
+            ce.conv2d_multi(a[:2], a[2:], (2, 2), p))), (0, 1, 2, 3))(
+                *xs, *ws)
+        gr = jax.grad(lambda xc, wc: jnp.sum(jnp.sin(
+            jax.lax.conv_general_dilated(
+                xc, wc, (2, 2), ((p, p), (p, p)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC")))), (0, 1))(
+                    xcat, wcat)
+        np.testing.assert_allclose(
+            np.asarray(jnp.concatenate(g[:2], axis=-1)), np.asarray(gr[0]),
+            rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(jnp.concatenate(g[2:], axis=2)), np.asarray(gr[1]),
+            rtol=1e-4, atol=1e-4)

@@ -36,3 +36,16 @@ def test_tapconv_applicable_gate():
     assert tapconv_applicable((32, 66, 66, 96), (9, 96, 128))
     assert not tapconv_applicable((32, 66, 66, 20), (9, 20, 8))     # narrow
     assert not tapconv_applicable((32, 600, 600, 128), (9, 128, 128))  # VMEM
+
+
+def test_tapconv_applicable_dtype_aware():
+    """The VMEM estimate uses the real operand dtypes: a shape that fits at
+    bf16 can overflow the budget at f32 (advisor r4)."""
+    import jax.numpy as jnp
+
+    shape_x, shape_w = (32, 80, 80, 256), (9, 256, 128)
+    # bf16: 3.13 (x) + 0.56 (w) + 6.25 (f32 out x2) = 9.94 MB -> fits
+    # f32:  6.25 (x) + 1.13 (w) + 6.25             = 13.6 MB -> rejected
+    assert tapconv_applicable(shape_x, shape_w)  # bf16 default fits
+    assert not tapconv_applicable(shape_x, shape_w,
+                                  x_dtype=jnp.float32, w_dtype=jnp.float32)

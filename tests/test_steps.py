@@ -121,3 +121,46 @@ def test_nan_skip_gate(rng):
                           state.params, new_state.params)
     assert max(jax.tree.leaves(deltas)) == 0.0
     assert int(new_state.step) == 0
+
+
+def test_polar_resynthesis_quirk_step_parity(rng):
+    """The faithful polar round trip (Quirks default, reference
+    network_functions.py:213-221) and the direct-iSTFT perf path
+    (Quirks.perf()) agree at STEP level to the atan2-eps bound: the polar
+    decomposition mag*e^{i(atan2+eps)} shifts each spectrogram value by
+    O(eps)~1e-6 relative before resynthesis, so losses and gradients match
+    to ~1e-4. Pins that the quirk is actually routed through
+    run_model_and_masks for BOTH families."""
+    import dataclasses as dc
+
+    for variant in ("dcs", "drs"):
+        cfg = _tiny_cfg(variant)
+        assert cfg.quirks.polar_resynthesis  # faithful default
+        cfg_perf = cfg.replace(quirks=cfg.quirks.perf())
+        assert not cfg_perf.quirks.polar_resynthesis
+        assert dc.replace(cfg_perf.quirks, polar_resynthesis=True) \
+            == cfg.quirks  # perf() flips ONLY this axis
+
+        batch = _batch(cfg, rng)
+        model = DCSNet(cfg.model, cfg.quirks)  # quirk is step-level only
+        tx = make_optimizer(cfg.optim)
+        state = S.init_state(model, cfg, tx, KEY, _sample_input(cfg, batch))
+        drop = jax.random.PRNGKey(3)
+
+        losses, grads = {}, {}
+        for name, c in (("polar", cfg), ("direct", cfg_perf)):
+            grad_fn = S.make_loss_and_grads(model, c)
+            losses[name], grads[name] = jax.jit(grad_fn)(state, batch, drop)
+        np.testing.assert_allclose(float(losses["polar"]),
+                                   float(losses["direct"]), rtol=1e-4)
+        # per-leaf band + global floor: cancelled bias grads (~1e-8) carry
+        # rounding noise set by the contribution scale, not their own
+        # magnitude (same theory as test_parallel's DP tolerance)
+        flat_a = jax.tree_util.tree_leaves_with_path(grads["polar"])
+        gmax = max(float(np.abs(np.asarray(a)).max()) for _, a in flat_a)
+        for (path, a), b in zip(flat_a, jax.tree.leaves(grads["direct"])):
+            a, b = np.asarray(a), np.asarray(b)
+            tol = 1e-3 * float(np.abs(a).max()) + 1e-5 * gmax
+            np.testing.assert_allclose(
+                b, a, rtol=0, atol=tol,
+                err_msg=f"{variant} {jax.tree_util.keystr(path)}")
