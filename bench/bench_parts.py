@@ -57,6 +57,7 @@ def main():
     import dataclasses
 
     cfg = config_for_variant("dcs")
+    cfg = cfg.replace(quirks=cfg.quirks.perf())
     cfg = cfg.replace(
         data=cfg.data.__class__(crop_samples=args.crop, batch_size=args.batch),
         model=dataclasses.replace(cfg.model, compute_dtype=args.dtype))

@@ -68,6 +68,7 @@ def main():
     args = p.parse_args()
 
     cfg = config_for_variant(args.variant)
+    cfg = cfg.replace(quirks=cfg.quirks.perf())
     cfg = cfg.replace(
         data=cfg.data.__class__(crop_samples=args.crop, batch_size=args.batch),
         model=dataclasses.replace(cfg.model, compute_dtype=args.dtype))

@@ -88,6 +88,7 @@ def main():
     B = args.batch
 
     cfg = config_for_variant("dcs")
+    cfg = cfg.replace(quirks=cfg.quirks.perf())
     cfg = cfg.replace(
         data=cfg.data.__class__(crop_samples=8160, batch_size=B),
         model=dataclasses.replace(cfg.model, compute_dtype=args.dtype))

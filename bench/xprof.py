@@ -44,6 +44,7 @@ def build_step(variant, batch, crop, dtype):
     from dcs_net_tpu.train.optim import make_optimizer
 
     cfg = config_for_variant(variant)
+    cfg = cfg.replace(quirks=cfg.quirks.perf())
     cfg = cfg.replace(
         data=cfg.data.__class__(crop_samples=crop, batch_size=batch),
         model=dataclasses.replace(cfg.model, compute_dtype=dtype))

@@ -70,6 +70,24 @@ def _dft_basis(n_fft: int, drop_dc: bool) -> Tuple[np.ndarray, np.ndarray]:
 
 
 @functools.lru_cache(maxsize=8)
+def _dft_basis_eff(cfg: "STFTConfig") -> Tuple[np.ndarray, np.ndarray]:
+    """Analysis bases with the Hann window and the `normalized` 1/sqrt(N)
+    scale FOLDED IN (f64 at fold time): dotting RAW frames against these ==
+    (frames * window) @ basis * scale, minus two full-resolution passes the
+    profiler showed as multiply+relayout fusions per stream (round 5)."""
+    n_bins_full = cfg.n_fft // 2 + 1
+    k = np.arange(n_bins_full)
+    n = np.arange(cfg.n_fft)
+    ang = -2.0 * np.pi * np.outer(n, k) / cfg.n_fft  # (n_fft, bins)
+    w = window_np(cfg).astype(np.float64)[:, None]
+    scale = cfg.n_fft ** -0.5 if cfg.normalized else 1.0
+    cos_b, sin_b = np.cos(ang) * w * scale, np.sin(ang) * w * scale
+    if cfg.drop_dc:
+        cos_b, sin_b = cos_b[:, 1:], sin_b[:, 1:]
+    return cos_b.astype(np.float32), sin_b.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=8)
 def _idft_basis(n_fft: int) -> Tuple[np.ndarray, np.ndarray]:
     """Inverse bases, shape (n_bins_full, n_fft), including the rfft
     hermitian-doubling weights: x[n] = (1/N) sum_k w_k (Re X_k cos + ...)."""
@@ -81,6 +99,27 @@ def _idft_basis(n_fft: int) -> Tuple[np.ndarray, np.ndarray]:
     weights[0] = weights[-1] = 1.0  # DC and Nyquist appear once
     cos_b = weights * np.cos(ang) / n_fft
     sin_b = -weights * np.sin(ang) / n_fft  # X conj-symmetric: x = Re(ifft)
+    return cos_b.astype(np.float32), sin_b.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def _idft_basis_eff(cfg: "STFTConfig") -> Tuple[np.ndarray, np.ndarray]:
+    """Inverse bases with the `normalized` sqrt(N) pre-scale and the
+    synthesis window POST-multiply folded in (f64 at fold time):
+    spec @ basis_eff == ((spec * sqrt(N)) @ basis) * window. Kills the
+    full-res `frames * window` pass and its f32 relayout copy per stream
+    (xprof round 5: copy.10062/10045 + the stft.py:175 mul fusions,
+    ~2 ms/step at batch 128)."""
+    n_bins_full = cfg.n_fft // 2 + 1
+    k = np.arange(n_bins_full)
+    n = np.arange(cfg.n_fft)
+    ang = 2.0 * np.pi * np.outer(k, n) / cfg.n_fft  # (bins, n_fft)
+    weights = np.full((n_bins_full, 1), 2.0)
+    weights[0] = weights[-1] = 1.0
+    w = window_np(cfg).astype(np.float64)[None, :]
+    scale = cfg.n_fft ** 0.5 if cfg.normalized else 1.0
+    cos_b = weights * np.cos(ang) / cfg.n_fft * w * scale
+    sin_b = -weights * np.sin(ang) / cfg.n_fft * w * scale
     return cos_b.astype(np.float32), sin_b.astype(np.float32)
 
 
@@ -114,28 +153,28 @@ def stft(x: jnp.ndarray, cfg: STFTConfig, *, use_fft: bool = False) -> CArray:
     F = cfg.n_bins (DC dropped when cfg.drop_dc). Matches
     torch.stft(..., normalized=cfg.normalized, return_complex=True)[1:257].
     """
-    window = get_window(cfg, x.dtype)
-    frames = frame_signal(x, cfg) * window  # (..., T, n_fft)
-    scale = cfg.n_fft ** -0.5 if cfg.normalized else 1.0
     if use_fft:
+        window = get_window(cfg, x.dtype)
+        frames = frame_signal(x, cfg) * window  # (..., T, n_fft)
+        scale = cfg.n_fft ** -0.5 if cfg.normalized else 1.0
         spec = jnp.fft.rfft(frames, n=cfg.n_fft, axis=-1)  # (..., T, bins_full)
         if cfg.drop_dc:
             spec = spec[..., 1:]
         re = jnp.real(spec) * scale
         im = jnp.imag(spec) * scale
     else:
-        cos_b, sin_b = _dft_basis(cfg.n_fft, cfg.drop_dc)
-        # basis matmuls in cfg.dft_dtype operands, f32 accumulation; the
-        # normalization scale applies post-dot in f32 so a bf16 basis only
-        # rounds the cos/sin values themselves
+        # window + normalization scale folded into the basis constants
+        # (f64 at fold time, _dft_basis_eff) — the dot consumes RAW frames;
+        # operands in cfg.dft_dtype, f32 accumulation
+        cos_b, sin_b = _dft_basis_eff(cfg)
         dt = jnp.dtype(cfg.dft_dtype)
-        fr = frames.astype(dt)
-        re = (jax.lax.dot_general(
+        fr = frame_signal(x, cfg).astype(dt)
+        re = jax.lax.dot_general(
             fr, jnp.asarray(cos_b, dt), (((fr.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale).astype(x.dtype)
-        im = (jax.lax.dot_general(
+            preferred_element_type=jnp.float32).astype(x.dtype)
+        im = jax.lax.dot_general(
             fr, jnp.asarray(sin_b, dt), (((fr.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale).astype(x.dtype)
+            preferred_element_type=jnp.float32).astype(x.dtype)
     # (..., T, F) -> (..., F, T): reference layout (data.py:111 "F x T")
     return CArray(jnp.swapaxes(re, -1, -2), jnp.swapaxes(im, -1, -2))
 
@@ -159,10 +198,10 @@ def istft(
             "use pad_bins()/polar_to_wave() for DC-dropped spectrograms")
     re = jnp.swapaxes(spec.re, -1, -2)  # (..., T, bins)
     im = jnp.swapaxes(spec.im, -1, -2)
-    if cfg.normalized:
-        re = re * (cfg.n_fft ** 0.5)
-        im = im * (cfg.n_fft ** 0.5)
-    cos_b, sin_b = _idft_basis(cfg.n_fft)
+    # normalization pre-scale + synthesis window post-multiply folded into
+    # the basis constants (_idft_basis_eff) — the dots' f32 accumulators go
+    # straight to overlap-add
+    cos_b, sin_b = _idft_basis_eff(cfg)
     dt = jnp.dtype(cfg.dft_dtype)
     dn = (((re.ndim - 1,), (0,)), ((), ()))
     frames = (jax.lax.dot_general(
@@ -171,16 +210,15 @@ def istft(
         + jax.lax.dot_general(
             im.astype(dt), jnp.asarray(sin_b, dt), dn,
             preferred_element_type=jnp.float32)).astype(spec.re.dtype)
-    window = get_window(cfg, re.dtype)
-    frames = frames * window  # (..., T, n_fft)
 
     n_frames = frames.shape[-2]
     total = cfg.n_fft + cfg.hop * (n_frames - 1)
     batch_shape = frames.shape[:-2]
     out = _overlap_add(frames, cfg, total)  # (..., total)
 
-    env = jnp.asarray(_window_envelope(cfg, n_frames), frames.dtype)
-    out = out / env
+    # reciprocal multiply instead of divide (env is a host constant)
+    env = jnp.asarray(1.0 / _window_envelope(cfg, n_frames), frames.dtype)
+    out = out * env
 
     if cfg.center:
         half = cfg.n_fft // 2
