@@ -1,12 +1,16 @@
-"""Enhance-path throughput on the chip (VERDICT r3 item 6: the north star is
-train + ENHANCE audio-s/s/chip; only training had ever been measured).
+"""Enhance-path throughput + latency on the chip (VERDICT r4 task 3: the
+north star is train + ENHANCE audio-s/s/chip; enhance was first measured by
+the judge in round 4 at 4-587 audio-s/s/chip and never profiled).
 
-Measures, with the D2H-fence timing pattern:
-  - enhance_full  at batch 1 and batch 32 on 0.51 s crops (the reference's
-    test-mode unit of work, /root/reference/test.py:10 + data.py:95-104)
-  - enhance_full  on one long utterance (batch 1, --long-seconds)
-  - enhance_streaming (chunk 256 / overlap 64) on the same long utterance
-Prints one line per config: audio-s/s/chip.
+Two numbers per config, both D2H-fenced:
+  * throughput — K repetitions inside ONE jit (lax.scan), like the train
+    bench: measures device work with the ~30 ms axon dispatch RTT amortized
+    away. This is what a pipelined serving deployment gets.
+  * latency    — one un-pipelined dispatch, RTT included: what a single
+    synchronous request experiences on THIS network-attached chip.
+
+Configs: crops (0.51 s, the reference's test unit) at batch 1/32/128;
+one long utterance full-pass and streaming (grouped-batch chunks).
 
 Usage: python bench/enhance_bench.py [--dtype bfloat16] [--long-seconds 30]
 """
@@ -14,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import json
 import os
 import sys
 import time
@@ -32,12 +37,16 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--long-seconds", type=float, default=30.0)
     ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--chunk-batch", type=int, default=8)
     args = ap.parse_args()
 
     from dcs_net_tpu.core.config import config_for_variant
     from dcs_net_tpu.dsp import stft as dsp
     from dcs_net_tpu.models.enhance import enhance_full, enhance_streaming
     from dcs_net_tpu.models.unet import DCSNet
+    from dcs_net_tpu.utils.platform import enable_fast_rng
+
+    enable_fast_rng()
 
     cfg = config_for_variant(args.variant)
     cfg = cfg.replace(
@@ -56,46 +65,73 @@ def main():
     def fence(w):
         return float(np.asarray(jnp.sum(w[..., :4])))
 
-    def timed(fn, wave, reps, scale=1):
+    def timed(fn, wave, reps):
+        """(throughput audio-s/s, device ms/call, latency ms) via an in-jit
+        K-rep scan + one single-dispatch latency sample."""
+        def scanned(w):
+            def body(carry, i):
+                out = fn(w + carry * jnp.float32(1e-30))
+                # chain a scalar through the carry so XLA cannot batch or
+                # dead-code-eliminate the repetitions
+                return jnp.sum(out[..., :1]), out
+            last, outs = jax.lax.scan(body, jnp.float32(0.0),
+                                      jnp.arange(reps))
+            return outs[-1] + last * jnp.float32(1e-30)
+
+        jt = jax.jit(scanned)
         jf = jax.jit(fn)
-        fence(jf(wave))  # compile
+        fence(jt(wave))  # compile
+        fence(jf(wave))
         t0 = time.perf_counter()
-        out = None
-        for i in range(reps):
-            out = jf(wave + jnp.float32(i) * 1e-30)
-        fence(out)
+        fence(jt(wave))
         dt = (time.perf_counter() - t0) / reps
-        audio_s = wave.shape[0] * wave.shape[1] / sr * scale
-        return audio_s / dt, dt
+        t1 = time.perf_counter()
+        fence(jf(wave))
+        lat = time.perf_counter() - t1
+        audio_s = wave.shape[0] * wave.shape[1] / sr
+        return audio_s / dt, dt * 1e3, lat * 1e3
 
     rng = np.random.default_rng(0)
     results = {}
 
-    for b in (1, 32):
+    for b in (1, 32, 128):
         wave = jnp.asarray(
             rng.standard_normal((b, crop)).astype(np.float32) * 0.1)
-        rate, dt = timed(lambda w: enhance_full(model, variables, w, cfg),
-                         wave, args.reps)
-        results[f"enhance_full_crop_b{b}"] = (rate, dt)
+        rate, dev_ms, lat_ms = timed(
+            lambda w: enhance_full(model, variables, w, cfg), wave, args.reps)
+        results[f"crop_b{b}"] = dict(audio_s_per_s=round(rate, 1),
+                                     device_ms=round(dev_ms, 2),
+                                     latency_ms=round(lat_ms, 2))
         print(f"enhance_full  crops  batch {b:3d}: {rate:10.1f} audio-s/s/chip"
-              f"  ({dt * 1e3:.2f} ms/call)", flush=True)
+              f"  ({dev_ms:.2f} ms/call device, {lat_ms:.2f} ms latency)",
+              flush=True)
 
     n_long = int(args.long_seconds * sr) // 256 * 256
     wave = jnp.asarray(
         rng.standard_normal((1, n_long)).astype(np.float32) * 0.1)
-    rate, dt = timed(lambda w: enhance_full(model, variables, w, cfg),
-                     wave, max(args.reps // 2, 3))
-    results["enhance_full_long_b1"] = (rate, dt)
+    rate, dev_ms, lat_ms = timed(
+        lambda w: enhance_full(model, variables, w, cfg), wave,
+        max(args.reps // 2, 3))
+    results["long_full_b1"] = dict(audio_s_per_s=round(rate, 1),
+                                   device_ms=round(dev_ms, 2),
+                                   latency_ms=round(lat_ms, 2))
     print(f"enhance_full  long {args.long_seconds:.0f}s batch 1: "
-          f"{rate:10.1f} audio-s/s/chip  ({dt * 1e3:.2f} ms/call)", flush=True)
+          f"{rate:10.1f} audio-s/s/chip  ({dev_ms:.2f} ms device, "
+          f"{lat_ms:.2f} ms latency)", flush=True)
 
-    rate, dt = timed(
+    rate, dev_ms, lat_ms = timed(
         lambda w: enhance_streaming(model, variables, w, cfg,
-                                    chunk_frames=256, overlap=64),
+                                    chunk_frames=256, overlap=64,
+                                    chunk_batch=args.chunk_batch),
         wave, max(args.reps // 2, 3))
-    results["enhance_streaming_long_b1"] = (rate, dt)
-    print(f"enhance_strm  long {args.long_seconds:.0f}s batch 1: "
-          f"{rate:10.1f} audio-s/s/chip  ({dt * 1e3:.2f} ms/call)", flush=True)
+    results[f"long_stream_g{args.chunk_batch}_b1"] = dict(
+        audio_s_per_s=round(rate, 1), device_ms=round(dev_ms, 2),
+        latency_ms=round(lat_ms, 2))
+    print(f"enhance_strm  long {args.long_seconds:.0f}s batch 1 "
+          f"(groups of {args.chunk_batch}): {rate:10.1f} audio-s/s/chip  "
+          f"({dev_ms:.2f} ms device, {lat_ms:.2f} ms latency)", flush=True)
+
+    print(json.dumps({"enhance": results}))
     os._exit(0)
 
 

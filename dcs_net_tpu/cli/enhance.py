@@ -22,6 +22,10 @@ def main(argv=None) -> None:
                         "LSTM + time-major latent — exact chunked==full when "
                         "--overlap 0)")
     p.add_argument("--chunk-frames", type=int, default=256)
+    p.add_argument("--chunk-batch", type=int, default=8,
+                   help="without --carry, independent chunks run batched in "
+                        "groups of this size (fills the chip instead of "
+                        "serializing batch-1 chunk passes)")
     p.add_argument("--overlap", type=int, default=None,
                    help="chunk overlap frames (default 64, or 0 with --carry "
                         "where non-overlapping tiling keeps the carry exact)")
@@ -41,7 +45,12 @@ def main(argv=None) -> None:
                 "(where chunked==full exactly). Drop --overlap, or drop "
                 "--carry to stream with mask crossfade only.")
     if args.overlap is None:
-        args.overlap = 0 if args.carry else 64
+        # default crossfade: 64 frames, clamped for small chunks (overlap
+        # must stay below chunk_frames)
+        args.overlap = 0 if args.carry else min(64, args.chunk_frames // 4)
+    if not (0 <= args.overlap < args.chunk_frames):
+        p.error(f"--overlap must be in [0, chunk_frames): got "
+                f"{args.overlap} with --chunk-frames {args.chunk_frames}")
 
     import jax
     import jax.numpy as jnp
@@ -111,7 +120,8 @@ def main(argv=None) -> None:
         out = enhance_streaming(model, variables, x, cfg,
                                 chunk_frames=args.chunk_frames,
                                 overlap=args.overlap,
-                                carry_lstm_state=args.carry)
+                                carry_lstm_state=args.carry,
+                                chunk_batch=args.chunk_batch)
     else:
         out = jax.jit(lambda v, w: enhance_full(model, v, w, cfg))(variables, x)
     out = np.asarray(out)[0]

@@ -89,7 +89,7 @@ def zero_lstm_state(cfg: Config, batch: int):
 def enhance_streaming(
     model, variables, wave: jnp.ndarray, cfg: Config,
     chunk_frames: int = 256, overlap: int = 64,
-    carry_lstm_state: bool = False,
+    carry_lstm_state: bool = False, chunk_batch: int = 8,
 ) -> jnp.ndarray:
     """(B, n) noisy -> (B, n) enhanced via fixed-shape chunks.
 
@@ -102,10 +102,21 @@ def enhance_streaming(
     a unidirectional LSTM (``lstm_bidir=False``; a backward pass cannot
     stream), and is exact — chunked == full pass — when the latent is flattened
     time-major (``lstm_time_major=True``) and chunks tile without overlap.
-    """
-    assert chunk_frames % 8 == 0 and 0 <= overlap < chunk_frames
-    if carry_lstm_state:
-        assert not cfg.model.lstm_bidir, (
+
+    Without the carry, chunks are INDEPENDENT (eval-mode BN uses running
+    stats; attention pools per chunk), so they run BATCHED in groups of
+    ``chunk_batch`` — a scan over groups keeps the compiled shape fixed
+    while each group fills the chip the way a batch-``chunk_batch`` forward
+    does, instead of serializing latency-bound batch-1 chunk dispatches
+    (round-5 enhance profile: serial chunks left the 30 s utterance at
+    587 audio-s/s/chip on an idle chip)."""
+    if chunk_frames % 8 != 0 or not 0 <= overlap < chunk_frames:
+        raise ValueError(
+            f"chunk_frames must be a multiple of 8 and overlap in "
+            f"[0, chunk_frames): got chunk_frames={chunk_frames}, "
+            f"overlap={overlap}")
+    if carry_lstm_state and cfg.model.lstm_bidir:
+        raise ValueError(
             "LSTM state carry requires a unidirectional (streaming) model")
     n = wave.shape[-1]
     spec = dsp.stft(wave, cfg.stft)  # (B, F, T)
@@ -117,26 +128,63 @@ def enhance_streaming(
         jnp.pad(spec.re, ((0, 0), (0, 0), (0, total - T))),
         jnp.pad(spec.im, ((0, 0), (0, 0), (0, total - T))))
 
-    starts = jnp.arange(n_chunks) * hop
+    if carry_lstm_state or n_chunks == 1:
+        starts = jnp.arange(n_chunks) * hop
 
-    def run_chunk(carry, start):
-        chunk = CArray(
-            jax.lax.dynamic_slice_in_dim(padded.re, start, chunk_frames, axis=2),
-            jax.lax.dynamic_slice_in_dim(padded.im, start, chunk_frames, axis=2))
-        if carry_lstm_state:
-            mask, carry = model.apply(
-                variables, _model_input(chunk, cfg), train=False,
-                lstm_state=carry, return_lstm_state=True)
-        else:
-            mask = model.apply(variables, _model_input(chunk, cfg), train=False)
-        if isinstance(mask, CArray):
-            out = jnp.stack([mask.re, mask.im])
-        else:
-            out = mask[None]
-        return carry, out
+        def run_chunk(carry, start):
+            chunk = CArray(
+                jax.lax.dynamic_slice_in_dim(
+                    padded.re, start, chunk_frames, axis=2),
+                jax.lax.dynamic_slice_in_dim(
+                    padded.im, start, chunk_frames, axis=2))
+            if carry_lstm_state:
+                mask, carry = model.apply(
+                    variables, _model_input(chunk, cfg), train=False,
+                    lstm_state=carry, return_lstm_state=True)
+            else:
+                mask = model.apply(variables, _model_input(chunk, cfg),
+                                   train=False)
+            if isinstance(mask, CArray):
+                out = jnp.stack([mask.re, mask.im])
+            else:
+                out = mask[None]
+            return carry, out
 
-    init = zero_lstm_state(cfg, B) if carry_lstm_state else None
-    _, chunk_masks = jax.lax.scan(run_chunk, init, starts)
+        init = zero_lstm_state(cfg, B) if carry_lstm_state else None
+        _, chunk_masks = jax.lax.scan(run_chunk, init, starts)
+    else:
+        G = max(min(chunk_batch, n_chunks), 1)
+        n_groups = -(-n_chunks // G)
+        n_pad = n_groups * G
+        # all chunk windows as one gather: (B, F, n_pad, chunk_frames);
+        # out-of-range windows (the padding group) clip to the last frame
+        # and are dropped after the scan
+        idx = np.arange(n_pad)[:, None] * hop + np.arange(chunk_frames)
+        idx = np.minimum(idx, total - 1)
+        win_re = padded.re[..., jnp.asarray(idx)]
+        win_im = padded.im[..., jnp.asarray(idx)]
+        # (n_groups, G*B, F, chunk_frames), chunk-major within a group
+        def regroup(x):
+            x = jnp.moveaxis(x, 2, 0)  # (n_pad, B, F, chunk)
+            return x.reshape(n_groups, G * B, F, chunk_frames)
+        win_re, win_im = regroup(win_re), regroup(win_im)
+
+        def run_group(_, grp):
+            chunk = CArray(grp[0], grp[1])
+            mask = model.apply(variables, _model_input(chunk, cfg),
+                               train=False)
+            if isinstance(mask, CArray):
+                out = jnp.stack([mask.re, mask.im])
+            else:
+                out = mask[None]
+            return None, out  # (P, G*B, F, chunk)
+
+        _, gmasks = jax.lax.scan(run_group, None,
+                                 jnp.stack([win_re, win_im], axis=1))
+        P = gmasks.shape[1]
+        gmasks = gmasks.reshape(n_groups, P, G, B, F, chunk_frames)
+        chunk_masks = jnp.moveaxis(gmasks, 2, 1).reshape(
+            n_groups * G, P, B, F, chunk_frames)[:n_chunks]
     # chunk_masks: (n_chunks, P, B, F, chunk_frames) with P in {1, 2}
 
     # crossfade weights: ramp up over the overlap, flat, ramp handled by the

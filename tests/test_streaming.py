@@ -153,6 +153,34 @@ def test_carry_requires_unidirectional():
         complex_valued=True, subtractive=True, channels=TINY, ca_reduction=2))
     model = DCSNet(cfg.model, cfg.quirks)
     wave = jnp.zeros((1, 2016), jnp.float32)
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         enhance_streaming(model, {}, wave, cfg, chunk_frames=32, overlap=0,
                           carry_lstm_state=True)
+
+
+def test_streaming_batched_groups_match_serial():
+    """The no-carry grouped-batch chunk path (chunk_batch>1) is numerically
+    identical to the serial per-chunk scan: chunks are independent in eval
+    mode (running-stats BN, per-chunk attention pools)."""
+    from dcs_net_tpu.dsp import stft as dsp
+
+    cfg = _streaming_cfg("dcs", exact=False)
+    # standard (bidirectional, f-major) eval model — no carry involved
+    cfg = cfg.replace(model=cfg.model.__class__(
+        complex_valued=True, subtractive=True, channels=TINY,
+        ca_reduction=2))
+    model = DCSNet(cfg.model, cfg.quirks)
+    rng = np.random.default_rng(5)
+    wave = jnp.asarray(rng.standard_normal((2, 6400)).astype(np.float32) * 0.1)
+    dummy = jnp.zeros((2, 2016), jnp.float32)
+    variables = jax.jit(lambda r, w: model.init(
+        {"params": r}, dsp.stft(w, cfg.stft), train=False)
+    )(jax.random.PRNGKey(0), dummy)
+    serial = enhance_streaming(model, variables, wave, cfg,
+                               chunk_frames=64, overlap=16, chunk_batch=1)
+    for g in (3, 8):
+        batched = enhance_streaming(model, variables, wave, cfg,
+                                    chunk_frames=64, overlap=16,
+                                    chunk_batch=g)
+        np.testing.assert_allclose(np.asarray(batched), np.asarray(serial),
+                                   rtol=1e-5, atol=1e-5)
