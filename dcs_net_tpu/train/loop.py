@@ -164,13 +164,24 @@ class Trainer:
         cfg = self.cfg
         meter = ThroughputMeter(
             cfg.data.batch_size * cfg.data.crop_samples / cfg.data.sr)
+        t_epoch0 = time.perf_counter()
+        n_ticks = 0
         agg: Dict[str, List[float]] = {}
         rng = jax.random.PRNGKey((cfg.run.seed, epoch).__hash__() & 0x7FFFFFFF)
 
+        # host-side dispatch counter for log cadence: fetching
+        # `int(self.state.step)` every dispatch is a device fence (an RTT on
+        # network-attached chips) that defeats async dispatch pipelining. The
+        # mirror can drift ahead of state.step by the (rare) NaN-skipped
+        # steps — cosmetic for cadence; checkpoints still read the real step.
+        gstep = int(self.state.step)
+
         def record(metrics, batch=None, ticks=1):
+            nonlocal gstep, n_ticks
             for _ in range(ticks):
                 meter.tick()
-            gstep = int(self.state.step)
+            gstep += ticks
+            n_ticks += ticks
             if gstep % cfg.run.log_every_n_steps < ticks:
                 host_metrics = {k: float(v) for k, v in metrics.items()}
                 self.writer.scalars(host_metrics, gstep, prefix="train/")
@@ -181,7 +192,9 @@ class Trainer:
                 if batch is not None:
                     log_input_histograms(self.writer, batch, gstep)
             for k, v in metrics.items():
-                agg.setdefault(k, []).append(float(v))
+                # keep the DEVICE scalar — one fetch per key at epoch end
+                # instead of len(metrics) fences per dispatch
+                agg.setdefault(k, []).append(v)
 
         pending: List[Dict[str, np.ndarray]] = []
         for host_batch in batches:
@@ -211,10 +224,16 @@ class Trainer:
             rng, sub = jax.random.split(rng)
             metrics, batch = self._dispatch_train(host_batch, sub)
             record(metrics, batch)
-        out = {k: float(np.mean(v)) for k, v in agg.items() if v}
+        # this fetch BLOCKS until every dispatched step completed on device —
+        # the fence that makes the epoch wall time below honest (dispatches
+        # enqueue asynchronously; the sliding-window meter times enqueues and
+        # is only used for coarse in-epoch TB logging)
+        out = {k: float(jnp.mean(jnp.stack([jnp.asarray(x) for x in v])))
+               for k, v in agg.items() if v}
         out["epoch"] = epoch
-        if meter.audio_seconds_per_sec:
-            out["audio_seconds_per_s"] = meter.audio_seconds_per_sec
+        dt = time.perf_counter() - t_epoch0
+        if n_ticks and dt > 0:
+            out["audio_seconds_per_s"] = n_ticks * meter.aps / dt
         self._last_train_metrics = out
         return out
 

@@ -80,7 +80,22 @@ class CArray(NamedTuple):
 
     # -- polar --------------------------------------------------------------
     def abs(self) -> Array:
-        return jnp.sqrt(self.re * self.re + self.im * self.im)
+        """|z| with torch's subgradient convention at z == 0.
+
+        The naive sqrt(re^2 + im^2) has a NaN GRADIENT at exactly (0, 0)
+        (d sqrt(0) = inf, times zero cotangent). torch defines
+        abs'(0) = sgn(0) = 0 for complex tensors, and the reference trains
+        through abs of values that ARE exactly zero: ComplexDropout zeroes
+        re and im independently (c_network.py:195-204), so ~rate^2 of the
+        network-output elements hit (0, 0) every train step before the
+        bound_crm |M| (network_functions.py:77-88). Root cause of the
+        round-5 soak finding that every dcs train step NaN-gated (finite
+        loss, all-NaN grads — bench/nan_probe.py). The double-where keeps
+        the forward bit-identical and pins the zero-measure gradient to
+        torch's 0."""
+        h2 = self.re * self.re + self.im * self.im
+        nz = h2 > 0
+        return jnp.where(nz, jnp.sqrt(jnp.where(nz, h2, 1.0)), 0.0)
 
     def abs2(self) -> Array:
         return self.re * self.re + self.im * self.im

@@ -126,7 +126,129 @@ def train_step_flops(cfg: Config, batch_size: int) -> float:
     return model_math_flops(cfg)["train_step"] * batch_size
 
 
+def model_min_hbm_bytes(cfg: Config, batch_size: int) -> Dict[str, float]:
+    """Analytic MINIMUM HBM traffic per train step, by model region — the
+    speed-of-light denominator for the per-category roofline table
+    (VERDICT r4 task 2: "a measured roofline argument for every remaining
+    ms").
+
+    Counting rules (deliberately GENEROUS to the compiler, so measured/SoL
+    ratios are honest upper bounds on inefficiency):
+      * activations move in the compute dtype (bf16 = 2 B/float; a complex
+        feature element is re+im = 2 floats);
+      * per conv stage: x is read twice (forward + weight-grad), y written
+        once, g_y read once (dgrad+wgrad assumed perfectly fused), g_x
+        written once -> 3*|x| + 2*|y|. BN/ReLU/bias epilogues are assumed
+        FREE (fused into the conv pass);
+      * decoder stages read the pre-upsample latent at its SMALL dims plus
+        the skip at full dims (the upsampled+concat tensor is assumed never
+        materialized — the tap-fold does materialize T-buffers, so the real
+        kernels legitimately exceed this floor);
+      * CBAM: 2 fwd passes over its feature map (global pool; apply) + 3
+        bwd passes — the pools force a barrier so apply cannot fuse with
+        the producing conv;
+      * dropout: ONLY the saved mask traffic (1 B/element write + read for
+        backward); the x passes are assumed fused into neighbors;
+      * LSTM: the per-layer gate projections xp (f32, gate math precision)
+        written + read forward, re-read in backward, plus hidden-state
+        sequence out/in; the RECURRENCE itself is serial-latency-bound and
+        argued separately (BASELINE.md);
+      * STFT/iSTFT: framed waveform matrix (T x n_fft, bf16) + spectrogram
+        (complex) per stream; gradient streams x3 for the 2 prediction
+        iSTFTs;
+      * masks/loss: 6 full-resolution complex-spec passes fwd + 6 bwd
+        (CRM target, bound, apply, subtract; sisnr/wsdr wave reductions);
+      * optimizer: Adam reads p, g, m, v and writes p, m, v — 7 f32 passes
+        over the parameter count (batch-independent).
+    """
+    m = cfg.model
+    s = cfg.stft
+    eb = 2.0 * (2.0 if m.complex_valued else 1.0)  # bytes per feature elem
+    T = s.num_frames(cfg.data.crop_samples)
+    F = s.n_bins
+    n_fft = s.n_fft
+    B = batch_size
+
+    out: Dict[str, float] = {}
+
+    # encoder / decoder stage dims (mirror model_math_flops)
+    f, t = F, T
+    enc_dims = []           # (f_in, t_in, cin, f_out, t_out, cout)
+    for i in range(m.n_layers):
+        cin, cout = m.enc_channels(i)
+        sh, sw = m.stride_e[i]
+        f2, t2 = _ceil_div(f, sh), _ceil_div(t, sw)
+        enc_dims.append((f, t, cin, f2, t2, cout))
+        f, t = f2, t2
+    f_lat, t_lat = f, t
+
+    params = 0.0  # real-valued parameter count (complex = 2 real tensors)
+    cxp = 2.0 if m.complex_valued else 1.0
+    for i, ((fi, ti, cin, fo, to, cout), k) in enumerate(
+            zip(enc_dims, m.kernel_e)):
+        x_b = fi * ti * cin * eb
+        y_b = fo * to * cout * eb
+        out[f"enc{i}"] = B * (3 * x_b + 2 * y_b)
+        params += cxp * (k * k * cin * cout + cout)
+
+    # decoder: upsampled_conv2d_multi upsamples concat(latent, skip), BOTH at
+    # the PRE-upsample dims (ops/conv_engine.py upsampled_conv2d_multi) — the
+    # ideal kernel reads the concat input small and never materializes the
+    # upsampled tensor
+    f, t = f_lat, t_lat
+    att = 0.0
+    drop_elems = 0.0
+    for i in range(m.n_layers):
+        uh, uw = m.upsample[i]
+        cin2, cout = m.dec_channels(i)
+        x_b = f * t * cin2 * eb                  # latent + skip, pre-upsample
+        a1 = f * t * (cin2 // 2) * eb            # skip-side CBAM fmap
+        f, t = f * uh, t * uw
+        y_b = f * t * cout * eb
+        k = m.kernel_d[i]
+        out[f"dec{i}"] = B * (3 * x_b + 2 * y_b)
+        params += cxp * (k * k * cin2 * cout + cout)
+        if m.attention:
+            a2 = f * t * cout * eb               # output-side CBAM fmap
+            att += B * 5 * (a1 + a2)
+        drop_elems += B * f * t * cout * (2.0 if m.complex_valued else 1.0)
+    out["attention"] = att
+    out["dropout"] = 2.0 * drop_elems            # 1-byte mask, write + read
+
+    # latent LSTM + FC
+    seq = f_lat * t_lat
+    H, L = m.lstm_hidden, m.lstm_layers
+    D = 2 if m.lstm_bidir else 1
+    heads = D * (2 if m.complex_valued else 1)
+    B_eff = B * (2 if m.complex_valued else 1)   # re/im batch-stacked
+    xp_b = seq * heads * B_eff * 4 * H * 4.0     # f32 gate projections
+    h_b = seq * heads * B_eff * H * 4.0
+    out["lstm"] = L * (3 * xp_b + 3 * h_b)       # write+read fwd, reread bwd
+    out["fc"] = B * 3 * seq * (H * D) * eb
+    for layer in range(L):
+        fin = m.latent_channels if layer == 0 else H * D
+        params += cxp * D * (4 * H * (fin + H) + 8 * H)
+    params += cxp * (H * D * m.fc_features + m.fc_features)
+
+    # DSP: streams x (framed wave matrix in compute dtype + complex spec)
+    frame_b = T * n_fft * 2.0
+    spec_b = T * F * 4.0
+    n_pred = 2 if m.subtractive else 1
+    out["stft/istft"] = B * ((3 + 3) * (frame_b + spec_b)
+                             + 3 * n_pred * (frame_b + spec_b))
+    out["masks/loss"] = B * 12 * spec_b
+    out["optimizer"] = 7 * 4.0 * params
+    out["_params"] = params
+    out["total"] = sum(v for k2, v in out.items() if not k2.startswith("_")
+                       and k2 != "total")
+    return out
+
+
+
+
 if __name__ == "__main__":
+    import sys as _sys
+
     from dcs_net_tpu.core.config import config_for_variant
 
     for v in ("dcs", "dr"):
@@ -136,3 +258,12 @@ if __name__ == "__main__":
                   "attention_ca", "stft_one", "istft_one", "forward",
                   "train_step"):
             print(f"  {k:>14}: {d[k]/1e9:8.3f} G")
+    batch = int(_sys.argv[1]) if len(_sys.argv) > 1 else 128
+    hb = model_min_hbm_bytes(config_for_variant("dcs"), batch)
+    print(f"-- dcs minimum HBM traffic, batch {batch} "
+          f"(params={hb['_params']/1e6:.2f} M) --")
+    for k, vb in sorted(hb.items(), key=lambda kv: -kv[1]):
+        if k.startswith("_"):
+            continue
+        print(f"  {k:>10}: {vb/1e9:7.3f} GB  "
+              f"(SoL {vb/819e9*1e3:6.3f} ms at v5e HBM peak)")

@@ -170,3 +170,61 @@ def test_check_finite():
     masks.check_finite(jnp.ones(4), "ok")
     with pytest.raises(FloatingPointError):
         masks.check_finite(jnp.asarray([1.0, np.nan]), "bad")
+
+
+def test_complex_abs_zero_subgradient_matches_torch():
+    """|z| gradient at exactly (0, 0) is torch's sgn(0) = 0, not NaN.
+
+    ComplexDropout zeroes re and im independently (c_network.py:195-204), so
+    the network output REACHES bound_crm's |M| with exact complex zeros every
+    train step; the naive sqrt(re^2+im^2) backward is NaN there and poisoned
+    every dcs gradient (round-5 soak finding, bench/nan_probe.py)."""
+    import jax
+
+    def f(re, im):
+        return jnp.sum(CArray(re, im).abs())
+
+    re = jnp.asarray([0.0, 3.0, -1.0])
+    im = jnp.asarray([0.0, 4.0, 0.0])
+    g_re, g_im = jax.grad(f, argnums=(0, 1))(re, im)
+    # torch oracle
+    z = torch.complex(torch.tensor([0.0, 3.0, -1.0]),
+                      torch.tensor([0.0, 4.0, 0.0])).requires_grad_(True)
+    torch.abs(z).sum().backward()
+    gt = z.grad  # == z/|z| elementwise (0 at z == 0) in torch's convention
+    np.testing.assert_allclose(np.asarray(g_re), gt.real.numpy(),
+                               rtol=1e-6, atol=0)
+    np.testing.assert_allclose(np.asarray(g_im), gt.imag.numpy(),
+                               rtol=1e-6, atol=0)
+    assert np.all(np.isfinite(np.asarray(g_re)))
+    # forward unchanged
+    np.testing.assert_allclose(np.asarray(f(re, im)), 5.0 + 1.0, rtol=1e-7)
+
+
+def test_bound_crm_grads_finite_with_exact_zero_elements():
+    """End-of-pipeline repro of the soak NaN: a mask input containing exact
+    (0, 0) pairs (dropout-zeroed network output) must yield FINITE gradients
+    through bound_crm -> mask apply -> sisnr."""
+    import jax
+
+    rng = np.random.default_rng(0)
+    re = rng.standard_normal((2, 8, 8)).astype(np.float32)
+    im = rng.standard_normal((2, 8, 8)).astype(np.float32)
+    # dropout-style exact zeros, independent for re and im, incl. overlaps
+    re[:, ::3, ::2] = 0.0
+    im[:, ::3, ::4] = 0.0
+    noisy = CArray(jnp.asarray(rng.standard_normal((2, 8, 8), ).astype(np.float32)),
+                   jnp.asarray(rng.standard_normal((2, 8, 8)).astype(np.float32)))
+    target = jnp.asarray(rng.standard_normal((2, 8 * 8 * 2)).astype(np.float32))
+
+    def loss(re, im):
+        m = masks.bound_crm(CArray(re, im), ATAN2_EPS)
+        pred_noise = noisy * m
+        wave = jnp.concatenate([pred_noise.re.reshape(2, -1),
+                                pred_noise.im.reshape(2, -1)], axis=-1)
+        return -losses.sisnr(target, wave)
+
+    g_re, g_im = jax.grad(loss, argnums=(0, 1))(jnp.asarray(re),
+                                                jnp.asarray(im))
+    assert np.all(np.isfinite(np.asarray(g_re)))
+    assert np.all(np.isfinite(np.asarray(g_im)))

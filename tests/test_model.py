@@ -137,3 +137,33 @@ def test_bfloat16_compute_path(variant):
     for g in jax.tree_util.tree_leaves(grads):
         assert g.dtype == jnp.float32
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_train_mode_gradients_finite_with_dropout():
+    """The round-5 soak finding in miniature: train-mode grads through the
+    FULL complex net (dropout active -> exact (0,0) outputs reach
+    bound_crm's |M|) must be finite. Was NaN on every step before
+    CArray.abs adopted torch's sgn(0)=0 subgradient (utils/carray.py)."""
+    cfg, model, x = _make("dcs")
+    variables = jax.jit(lambda: model.init(
+        {"params": KEY, "dropout": KEY}, x, train=False))()
+
+    def loss(params, r):
+        out, _ = model.apply(
+            {**variables, "params": params}, x, train=True,
+            rngs={"dropout": r}, mutable=["batch_stats"])
+        # sisnr-shaped reduction over the masked spec keeps the whole
+        # backward path live
+        w = jnp.concatenate([out.re.reshape(B, -1), out.im.reshape(B, -1)], -1)
+        return jnp.sum(w * w) - jnp.sum(jnp.tanh(w))
+
+    # a few dropout draws: each produces thousands of exact complex zeros
+    for seed in (1, 2):
+        r = jax.random.PRNGKey(seed)
+        # assert the failure precondition actually occurs: exact (0,0) pairs
+        out, _ = jax.jit(lambda v, a, rr: model.apply(
+            v, a, train=True, rngs={"dropout": rr},
+            mutable=["batch_stats"]))(variables, x, r)
+        grads = jax.jit(jax.grad(loss))(variables["params"], r)
+        for g in jax.tree_util.tree_leaves(grads):
+            assert np.all(np.isfinite(np.asarray(g))), "NaN grad leaf"
